@@ -1,0 +1,292 @@
+'''NewtonNet on TPU: dense masked Newtonian message passing.
+
+Architecture parity with the reference model (newtonnet/models/newtonnet.py)
+but built TPU-first:
+
+  * The molecular graph is the dense (B, N, N) padded adjacency from
+    newtonnet_tpu/ops/neighbors.py -- every message-passing step below is a
+    masked dense einsum/matmul that XLA tiles onto the MXU. There is no
+    scatter/gather anywhere (the reference's hot op, torch_geometric
+    `scatter` at newtonnet.py:214,226, becomes a masked sum over axis j).
+  * All shapes are static; batches with different molecules simply differ
+    in their masks, so there is exactly one compilation per (B, N) bucket.
+  * Derivative-based outputs (forces, stress, virial, Hessian, BEC) are
+    taken with jax.grad / jax.jacfwd of the pure energy function in
+    newtonnet_tpu/models/output.py -- the functional analogue of the
+    reference's autograd heads (newtonnet/models/output.py:61-180).
+
+Parameter initialization matches torch defaults (nn.Linear kaiming-uniform
+with a=sqrt(5) == U(+-1/sqrt(fan_in)) for both kernel and bias; nn.Embedding
+N(0, 1) with the padding row zeroed) so that training dynamics are
+comparable to the reference run.
+'''
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from newtonnet_tpu.layers.activations import get_activation_by_string
+from newtonnet_tpu.layers.representations import (
+    polynomial_cutoff,
+    radial_bessel,
+    scaled_norm,
+)
+from newtonnet_tpu.ops.neighbors import dense_graph
+
+
+def _torch_uniform_init(bound):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class TorchLinear(nn.Module):
+    '''Dense layer with torch nn.Linear default init (see module docstring).'''
+    features: int
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / fan_in ** 0.5
+        kernel = self.param(
+            'kernel', _torch_uniform_init(bound), (fan_in, self.features),
+            self.param_dtype)
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param(
+                'bias', _torch_uniform_init(bound), (self.features,),
+                self.param_dtype)
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class MLP(nn.Module):
+    '''Stack of TorchLinear layers with activation between (not after).
+
+    Mirrors the reference nn.Sequential blocks, e.g. the 2-layer message MLP
+    (newtonnet.py:181-185) and 3-layer output heads (output.py:90-96).
+    '''
+    features: Sequence[int]
+    activation: Callable
+    use_bias: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            if i > 0:
+                x = self.activation(x)
+            x = TorchLinear(f, use_bias=self.use_bias,
+                            param_dtype=self.param_dtype)(x)
+        return x
+
+
+class InteractionNet(nn.Module):
+    '''One Newtonian message-passing layer (reference newtonnet.py:165-237).
+
+    Dense-graph formulation: for the padded pair tensor (B, N, N, ...) with
+    adjacency mask `adj`, the reference's edge gather/scatter pattern
+    becomes masked elementwise products and sums over the neighbor axis j.
+    Aggregation is onto node i = axis 1 (reference scatters onto
+    edge_index[0], newtonnet.py:214,226).
+    '''
+    n_features: int
+    activation: Callable
+    layer_norm: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, atom_node, force_node, dir_edge, rbf_edge, adj):
+        '''
+        Args:
+            atom_node:  (B, N, F) invariant node features.
+            force_node: (B, N, 3, F) equivariant node features.
+            dir_edge:   (B, N, N, 3) unit directions (i->j rows).
+            rbf_edge:   (B, N, N, n_basis) enveloped radial basis.
+            adj:        (B, N, N) bool adjacency mask.
+
+        Returns:
+            updated (atom_node, force_node).
+        '''
+        f = self.n_features
+        adj_f = adj[..., None].astype(atom_node.dtype)  # (B, N, N, 1)
+
+        # invariant message: W_rbf(d_ij) * phi(a)_i * phi(a)_j  (ref :209-211)
+        message_nodepart = MLP([f, f], self.activation,
+                               param_dtype=self.param_dtype,
+                               name='message_nodepart')(atom_node)  # (B,N,F)
+        message_edgepart = TorchLinear(f, use_bias=False,
+                                       param_dtype=self.param_dtype,
+                                       name='message_edgepart')(rbf_edge)
+        message = (message_edgepart
+                   * message_nodepart[:, :, None, :]
+                   * message_nodepart[:, None, :, :]) * adj_f  # (B, N, N, F)
+
+        # invariant update: sum over neighbors j  (ref scatter at :214)
+        atom_node = atom_node + jnp.sum(message, axis=2)
+
+        # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
+        phi1 = MLP([f, f], self.activation, use_bias=False,
+                   param_dtype=self.param_dtype,
+                   name='equiv_message1')(message) * adj_f
+        equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, dir_edge)
+
+        # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
+        phi2 = MLP([f, f], self.activation, use_bias=False,
+                   param_dtype=self.param_dtype,
+                   name='equiv_message2')(message) * adj_f
+        equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_node)
+
+        # equivariant update: sum over j (inside the einsums)  (ref :226-227)
+        force_node = force_node + equiv1 + equiv2
+
+        # invariant update from force norm  (ref :230-231)
+        equiv_update = TorchLinear(f, use_bias=False,
+                                   param_dtype=self.param_dtype,
+                                   name='equiv_update')(force_node)
+        atom_node = atom_node + jnp.sum(force_node * equiv_update, axis=2)
+
+        if self.layer_norm:
+            atom_node = nn.LayerNorm(epsilon=1e-5,
+                                     param_dtype=self.param_dtype,
+                                     name='layer_norm')(atom_node)
+        return atom_node, force_node
+
+
+class ScaleShift(nn.Module):
+    '''Per-element (Z-indexed) trainable scale/shift (ref layers/scalers.py:33-69).
+
+    scale/shift are (119, 1) embeddings initialized to ones/zeros; either can
+    be disabled per property (ref scalers.py:5-24).
+    '''
+    use_scale: bool = True
+    use_shift: bool = True
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, output, z):
+        if self.use_scale:
+            scale = self.param('scale', lambda k, s, d: jnp.ones(s, d),
+                               (119, 1), self.param_dtype)
+            output = output * scale[z, 0].astype(output.dtype)[..., None]
+        if self.use_shift:
+            shift = self.param('shift', lambda k, s, d: jnp.zeros(s, d),
+                               (119, 1), self.param_dtype)
+            output = output + shift[z, 0].astype(output.dtype)[..., None]
+        return output
+
+
+# which (scale, shift) each property's scaler carries (ref scalers.py:5-24).
+# Note the reference passes numeric values (e.g. charge scale=0.1) but its
+# ScaleShift constructor only checks `is not None` and always initializes the
+# embeddings to ones/zeros (ref scalers.py:44-45) -- we reproduce that.
+SCALER_CONFIG = {
+    'energy': (True, True),
+    'gradient_force': (False, False),
+    'direct_force': (True, False),
+    'hessian': (False, False),
+    'virial': (False, False),
+    'stress': (False, False),
+    'charge': (True, True),
+    'bec': (False, False),
+}
+
+
+class NewtonNetCore(nn.Module):
+    '''All parametric compute: embedding -> interactions -> direct heads.
+
+    Derivative heads wrap around this module functionally (see
+    newtonnet_tpu/models/output.py). `__call__(z, pos, cell)` expects the
+    *strain-displaced* pos/cell (the displacement trick itself lives in the
+    caller, mirroring EmbeddingNet at reference newtonnet.py:146-155).
+    '''
+    cutoff: float = 5.0
+    n_features: int = 128
+    n_basis: int = 20
+    n_interactions: int = 3
+    activation: str = 'swish'
+    layer_norm: bool = False
+    output_properties: Sequence[str] = ()
+    mic_mode: str = 'exact'
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z, pos, cell):
+        '''
+        Args:
+            z: (B, N) atomic numbers, 0 = padding.
+            pos: (B, N, 3) (possibly strain-displaced) positions.
+            cell: (B, 3, 3) (possibly strain-displaced) lattice rows.
+
+        Returns:
+            dict with atom_node (B,N,F), force_node (B,N,3,F) and, per
+            configured direct property, its scaled per-atom output.
+        '''
+        act = get_activation_by_string(self.activation)
+        atom_mask = z > 0
+        fmask = atom_mask.astype(pos.dtype)[..., None]
+
+        # node embedding: torch nn.Embedding(119, F) N(0,1), row 0 zeroed
+        # (ref newtonnet.py:131)
+        def embed_init(key, shape, dtype):
+            w = jax.random.normal(key, shape, dtype)
+            return w.at[0].set(0.0)
+        embedding = self.param('node_embedding', embed_init,
+                               (119, self.n_features), self.param_dtype)
+        atom_node = embedding[z].astype(pos.dtype) * fmask  # (B, N, F)
+        force_node = jnp.zeros(z.shape + (3, self.n_features), pos.dtype)
+
+        # edge embedding (ref EmbeddingNet:159 -> representations.py:20-43)
+        disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
+                                mic_mode=self.mic_mode)
+        dist, dir_edge = scaled_norm(disp, self.cutoff)  # (B,N,N,1), (B,N,N,3)
+        rbf_edge = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+
+        # message passing stack (ref newtonnet.py:93-94)
+        for i in range(self.n_interactions):
+            atom_node, force_node = InteractionNet(
+                n_features=self.n_features, activation=act,
+                layer_norm=self.layer_norm, param_dtype=self.param_dtype,
+                name=f'interaction_{i}')(
+                    atom_node, force_node, dir_edge, rbf_edge, adj)
+
+        outputs = {'atom_node': atom_node, 'force_node': force_node}
+
+        # direct (parametric) heads + their scalers
+        for key in self.output_properties:
+            if key == 'energy':
+                # 3-layer MLP F->F->F->1 (ref output.py:90-100)
+                e = MLP([self.n_features, self.n_features, 1], act,
+                        param_dtype=self.param_dtype, name='energy_head')(
+                            atom_node)  # (B, N, 1)
+                e = self._scale(key, e, z)
+                outputs['atomic_energy'] = e * fmask
+            elif key == 'charge':
+                # 3-layer MLP F->F->F->1 (ref output.py:192-202)
+                q = MLP([self.n_features, self.n_features, 1], act,
+                        param_dtype=self.param_dtype, name='charge_head')(
+                            atom_node)
+                q = self._scale(key, q, z)
+                outputs['charge'] = (q * fmask)[..., 0]  # (B, N)
+            elif key == 'direct_force':
+                # MLP(a) . force_node summed over F (ref output.py:121-132)
+                w = MLP([self.n_features] * 3, act,
+                        param_dtype=self.param_dtype, name='direct_force_head')(
+                            atom_node)  # (B, N, F)
+                force = jnp.sum(w[:, :, None, :] * force_node, axis=-1)
+                force = self._scale(key, force, z)
+                outputs['direct_force'] = force * fmask  # (B, N, 3)
+            # derivative properties have no parameters here
+
+        return outputs
+
+    def _scale(self, key, output, z):
+        use_scale, use_shift = SCALER_CONFIG[key]
+        if not (use_scale or use_shift):
+            return output
+        return ScaleShift(use_scale=use_scale, use_shift=use_shift,
+                          param_dtype=self.param_dtype,
+                          name=f'scaler_{key}')(output, z)

@@ -1,0 +1,235 @@
+'''Functional NewtonNet: output heads, scalers and aggregation.
+
+The reference implements derivative outputs as stateful autograd heads
+chained through a CustomOutputSet (newtonnet/models/output.py:51-254):
+forces = -dE/dpos, virial = -dE/d(strain displacement),
+stress = dE/d(displacement) / det(cell), Hessian = d2E/dpos2,
+BEC via the `les` package. Here the same quantities are derivatives of one
+pure energy function, taken with jax.grad / jax.jacfwd / jax.jacrev --
+jit-compatible, composable, and exact to machine precision.
+
+The strain-displacement (virial/stress) trick mirrors the reference
+EmbeddingNet (newtonnet.py:146-155): an identity-valued symmetric strain is
+applied to positions and cell; its gradient is the virial.
+
+Aggregation semantics match the reference EnergyAggregator
+(output.py:226-247): per-graph sum of atomic energies, plus the latent
+Ewald long-range energy when a charge head is configured. As in the
+reference, E_lr is evaluated at the *raw* (undisplaced) positions/cell, so
+the long-range term contributes to forces but not to the virial/stress
+(outputs.pos / outputs.cell leaves at newtonnet.py:97, output.py:237-241).
+
+Head ordering constraints from the reference (charge before energy before
+gradient_force/hessian, config.yml:36) are resolved here by computing in
+dependency order internally, so any order in `output_properties` works.
+'''
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from newtonnet_tpu.models.newtonnet import NewtonNetCore
+from newtonnet_tpu.ops.ewald import ewald_energy
+
+DIRECT_PROPERTIES = ('energy', 'charge', 'direct_force')
+DERIVATIVE_PROPERTIES = ('gradient_force', 'virial', 'stress')
+SECOND_DERIVATIVE_PROPERTIES = ('hessian', 'bec')
+ALL_PROPERTIES = (DIRECT_PROPERTIES + DERIVATIVE_PROPERTIES
+                  + SECOND_DERIVATIVE_PROPERTIES)
+
+
+class NewtonNet:
+    '''User-facing model: configuration + pure init/apply functions.
+
+    Mirrors the reference constructor signature
+    (newtonnet/models/newtonnet.py:26-35). Unlike the reference nn.Module,
+    this object is stateless: parameters live in a pytree returned by
+    `init` and consumed by `apply`.
+    '''
+
+    def __init__(
+            self,
+            cutoff: float = 5.0,
+            n_features: int = 128,
+            n_basis: int = 20,
+            n_interactions: int = 3,
+            activation: str = 'swish',
+            layer_norm: bool = False,
+            output_properties: Sequence[str] = (),
+            mic_mode: str = 'exact',
+            ewald_sigma: float = 1.0,
+            ewald_n_k: int = 8,
+            param_dtype=jnp.float32,
+    ):
+        for key in output_properties:
+            if key not in ALL_PROPERTIES:
+                raise NotImplementedError(
+                    f'Output type {key} is not implemented yet')
+        self.output_properties = list(output_properties)
+        self.cutoff = cutoff
+        self.n_features = n_features
+        self.n_basis = n_basis
+        self.n_interactions = n_interactions
+        self.activation = activation
+        self.layer_norm = layer_norm
+        self.mic_mode = mic_mode
+        self.ewald_sigma = ewald_sigma
+        self.ewald_n_k = ewald_n_k
+        self.param_dtype = param_dtype
+
+        needs = set(self.output_properties)
+        # derivative heads need the energy; bec needs charges (ref output.py:214)
+        if needs & set(DERIVATIVE_PROPERTIES) or 'hessian' in needs:
+            needs.add('energy')
+        if 'bec' in needs:
+            needs.add('charge')
+        core_props = tuple(k for k in DIRECT_PROPERTIES if k in needs)
+        self._needs = needs
+        self.core = NewtonNetCore(
+            cutoff=cutoff, n_features=n_features, n_basis=n_basis,
+            n_interactions=n_interactions, activation=activation,
+            layer_norm=layer_norm, output_properties=core_props,
+            mic_mode=mic_mode, param_dtype=param_dtype)
+
+    # ------------------------------------------------------------------ #
+    def init(self, rng, z, pos, cell):
+        '''Initialize the parameter pytree from example (batched) inputs.'''
+        return self.core.init(rng, z, pos, cell)
+
+    def config_dict(self):
+        '''Serializable model config (used by checkpoints).'''
+        return {
+            'cutoff': self.cutoff, 'n_features': self.n_features,
+            'n_basis': self.n_basis, 'n_interactions': self.n_interactions,
+            'activation': self.activation, 'layer_norm': self.layer_norm,
+            'output_properties': list(self.output_properties),
+            'mic_mode': self.mic_mode, 'ewald_sigma': self.ewald_sigma,
+            'ewald_n_k': self.ewald_n_k,
+        }
+
+    # ------------------------------------------------------------------ #
+    def _energy_and_aux(self, params, z, pos, displacement, cell):
+        '''Total (summed over graphs) energy and auxiliary outputs.
+
+        The strain trick (ref newtonnet.py:146-155): `displacement` is an
+        identity-valued (B, 3, 3) tensor; pos and cell are transformed by its
+        symmetrization before entering the core, so
+        d(energy)/d(displacement) = virial tensor.
+        '''
+        sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
+        pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
+        cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
+        out = self.core.apply(params, z, pos_d, cell_d)
+
+        atom_mask = z > 0
+        if 'energy' in self._needs:
+            energy = jnp.sum(out['atomic_energy'][..., 0], axis=-1)  # (B,)
+            if 'charge' in self._needs:
+                # long-range latent Ewald at raw pos/cell (ref output.py:237-241)
+                energy = energy + ewald_energy(
+                    out['charge'], pos, cell, atom_mask,
+                    sigma=self.ewald_sigma, n_k=self.ewald_n_k)
+            out['energy'] = energy
+            return jnp.sum(energy), out
+        return jnp.zeros((), pos.dtype), out
+
+    def _identity_displacement(self, cell):
+        b = cell.shape[0]
+        return jnp.broadcast_to(jnp.eye(3, dtype=cell.dtype), (b, 3, 3))
+
+    # ------------------------------------------------------------------ #
+    def apply(self, params, z, pos, cell):
+        '''Full forward pass.
+
+        Args:
+            params: parameter pytree from `init`.
+            z: (B, N) int atomic numbers, 0 = padding.
+            pos: (B, N, 3) positions.
+            cell: (B, 3, 3) lattice rows (all-zero = aperiodic).
+
+        Returns:
+            dict of outputs; always contains the configured
+            output_properties, keyed as the reference names them:
+            energy (B,), gradient_force/direct_force (B, N, 3),
+            hessian (B, N, 3, N, 3), virial/stress (B, 3, 3),
+            charge (B, N), bec (B, N, 3, 3), plus atom_node / force_node.
+        '''
+        needs = self._needs
+        displacement = self._identity_displacement(cell)
+
+        need_grad = bool(needs & {'gradient_force', 'virial', 'stress',
+                                  'hessian'})
+        if need_grad:
+            grad_fn = jax.grad(self._energy_and_aux, argnums=(2, 3),
+                               has_aux=True)
+            (pos_grad, disp_grad), out = grad_fn(
+                params, z, pos, displacement, cell)
+        else:
+            _, out = self._energy_and_aux(params, z, pos, displacement, cell)
+
+        outputs = dict(out)
+        if 'gradient_force' in needs:
+            outputs['gradient_force'] = -pos_grad  # (ref output.py:112)
+        if 'virial' in needs:
+            outputs['virial'] = -disp_grad  # (ref output.py:164)
+        if 'stress' in needs:
+            volume = jnp.abs(jnp.linalg.det(cell))[:, None, None]
+            outputs['stress'] = disp_grad / volume  # (ref output.py:174-180)
+        if 'hessian' in needs:
+            outputs['hessian'] = self._hessian(params, z, pos, cell)
+        if 'bec' in needs:
+            outputs['bec'] = self._bec(params, z, pos, cell, out['charge'])
+        return outputs
+
+    def __call__(self, params, z, pos, cell):
+        return self.apply(params, z, pos, cell)
+
+    # ------------------------------------------------------------------ #
+    def _single_graph_pos_grad(self, params, z, pos, cell):
+        '''dE/dpos for one unbatched graph (N, 3) -- used by the Hessian.'''
+        def energy(p):
+            disp = self._identity_displacement(cell[None])
+            total, _ = self._energy_and_aux(
+                params, z[None], p[None], disp, cell[None])
+            return total
+        return jax.grad(energy)(pos)
+
+    def _hessian(self, params, z, pos, cell):
+        '''Per-graph Hessian d2E/dpos2: (B, N, 3, N, 3).
+
+        Forward-over-reverse (jacfwd of grad) instead of the reference's
+        vmap-of-VJP over eye(3N) rows (ref output.py:142-151); graphs are
+        independent, so the Hessian is computed per graph under vmap to
+        avoid the (BN3)^2 cross-graph zero blocks.
+        '''
+        def single(z1, pos1, cell1):
+            return jax.jacfwd(
+                lambda p: self._single_graph_pos_grad(params, z1, p, cell1)
+            )(pos1)
+        return jax.vmap(single)(z, pos, cell)
+
+    def _bec(self, params, z, pos, cell, charge):
+        '''Born effective charges (B, N, 3, 3).
+
+        Z*_{i,ab} = dP_a/dr_{i,b} with polarization P = sum_j q_j r_j:
+        Z*_i = q_i I + sum_j r_j (x) dq_j/dr_i. The reference obtains BEC
+        from the `les` package (ref output.py:214-223); this is the LES
+        method's polarization derivative computed with jax.jacrev through
+        the charge head.
+        '''
+        def single_charges(z1, pos1, cell1):
+            disp = self._identity_displacement(cell1[None])
+            sym = 0.5 * (disp + jnp.swapaxes(disp, -1, -2))
+            pos_d = jnp.einsum('bni,bij->bnj', pos1[None], sym)
+            cell_d = jnp.einsum('bxi,bij->bxj', cell1[None], sym)
+            out = self.core.apply(params, z1[None], pos_d, cell_d)
+            return out['charge'][0]  # (N,)
+
+        def single_bec(z1, pos1, cell1, q1):
+            jac = jax.jacrev(lambda p: single_charges(z1, p, cell1))(pos1)
+            # jac[j, i, b] = dq_j / dr_{i, b}
+            cross = jnp.einsum('ja,jib->iab', pos1, jac)  # (N, 3, 3)
+            return q1[:, None, None] * jnp.eye(3, dtype=pos1.dtype) + cross
+
+        return jax.vmap(single_bec)(z, pos, cell, charge)

@@ -1,0 +1,106 @@
+'''Latent Ewald Summation (LES) equivalent: long-range electrostostatic energy
+from latent charges, plus Born effective charges.
+
+The reference delegates this to the external `les` package
+(newtonnet/models/output.py:5,210-223,229-244): EnergyAggregator adds
+`E_lr = les(positions, cell, latent_charges, batch, compute_energy=True)`
+to the short-range energy, and BornEffectiveChargeOutput computes
+`BEC = les(..., compute_bec=True)`. `les` is not available in this
+environment, so this module reconstructs the published method
+(B. Cheng, "Latent Ewald summation for machine learning of long-range
+interactions", npj Comput. Mater. 2025; arXiv:2408.15165):
+
+  * periodic:  E_lr = (2 pi / V) * sum_{0 < |k| <= k_c}
+                   exp(-sigma^2 k^2 / 2) / k^2 * |S(k)|^2,
+               S(k) = sum_i q_i exp(i k . r_i)
+  * aperiodic: E_lr = 1/2 sum_{i != j} q_i q_j erf(|r_ij| / (sqrt(2) sigma))
+                   / |r_ij|
+  * BEC:       Z*_{i,ab} = d P_a / d r_{i,b} with polarization
+               P = sum_j q_j r_j  =>  Z*_i = q_i I + sum_j (d q_j / d r_i) r_j
+               (computed in newtonnet_tpu/models/output.py via jax.jacrev
+               through the charge head).
+
+All sums are over static padded shapes with masks; the reciprocal-space sum
+is a dense (K, N) matmul pair that maps straight onto the MXU.
+'''
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def _k_lattice(n_k):
+    '''Integer reciprocal-lattice offsets within an n_k cube (static shape).
+
+    Returns (M, 3) int offsets excluding the origin, M = (2 n_k + 1)^3 - 1.
+    '''
+    r = jnp.arange(-n_k, n_k + 1)
+    kx, ky, kz = jnp.meshgrid(r, r, r, indexing='ij')
+    k = jnp.stack([kx.ravel(), ky.ravel(), kz.ravel()], axis=-1)
+    origin = jnp.all(k == 0, axis=-1)
+    # move the origin to the end and rely on masking (static shapes)
+    return k, ~origin
+
+
+def ewald_energy_periodic(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
+    '''Reciprocal-space latent Ewald energy for periodic graphs.
+
+    Args:
+        charge: (B, N) latent charges (padding entries must be 0).
+        pos: (B, N, 3) positions.
+        cell: (B, 3, 3) lattice rows.
+        atom_mask: (B, N) bool.
+        sigma: charge smearing width (Angstrom).
+        n_k: reciprocal-space cube half-width (static); modes with
+            |k| > 2 pi * k_cut are damped to ~0 by the Gaussian factor.
+
+    Returns:
+        (B,) long-range energy per graph.
+    '''
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    eye = jnp.eye(3, dtype=cell.dtype)
+    safe_cell = jnp.where(is_periodic[:, None, None], cell, eye)
+    volume = jnp.abs(jnp.linalg.det(safe_cell))  # (B,)
+    # reciprocal rows: b = 2 pi inv(cell)^T  (rows of cell are lattice vectors)
+    recip = TWO_PI * jnp.swapaxes(jnp.linalg.inv(safe_cell), -1, -2)  # (B,3,3)
+
+    offsets, k_mask = _k_lattice(n_k)  # (M, 3), (M,)
+    kvec = jnp.einsum('mx,bxy->bmy', offsets.astype(pos.dtype), recip)
+    k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, M)
+    k2_safe = jnp.where(k_mask[None, :], k2, 1.0)
+
+    phase = jnp.einsum('bmy,bny->bmn', kvec, pos)  # (B, M, N)
+    q = charge * atom_mask.astype(charge.dtype)
+    s_re = jnp.einsum('bmn,bn->bm', jnp.cos(phase), q)
+    s_im = jnp.einsum('bmn,bn->bm', jnp.sin(phase), q)
+    s2 = s_re * s_re + s_im * s_im  # (B, M)
+
+    weight = jnp.exp(-0.5 * sigma * sigma * k2_safe) / k2_safe
+    weight = jnp.where(k_mask[None, :], weight, 0.0)
+    energy = (TWO_PI / volume) * jnp.sum(weight * s2, axis=-1)
+    return jnp.where(is_periodic, energy, 0.0)
+
+
+def ewald_energy_aperiodic(charge, pos, atom_mask, sigma=1.0, eps=1e-12):
+    '''Direct-space smeared Coulomb energy for isolated molecules.
+
+    E = 1/2 sum_{i != j} q_i q_j erf(|r_ij| / (sqrt(2) sigma)) / |r_ij|
+    '''
+    disp = pos[:, :, None, :] - pos[:, None, :, :]
+    d = jnp.sqrt(jnp.maximum(jnp.sum(disp * disp, axis=-1), eps))  # (B,N,N)
+    n = pos.shape[1]
+    pair_mask = (atom_mask[:, :, None] & atom_mask[:, None, :]
+                 & ~jnp.eye(n, dtype=bool))
+    q = charge * atom_mask.astype(charge.dtype)
+    qq = q[:, :, None] * q[:, None, :]
+    kernel = jax.scipy.special.erf(d / (jnp.sqrt(2.0) * sigma)) / d
+    return 0.5 * jnp.sum(jnp.where(pair_mask, qq * kernel, 0.0), axis=(1, 2))
+
+
+def ewald_energy(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
+    '''Dispatch periodic/aperiodic per graph (both branches are static).'''
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    e_per = ewald_energy_periodic(charge, pos, cell, atom_mask,
+                                  sigma=sigma, n_k=n_k)
+    e_aper = ewald_energy_aperiodic(charge, pos, atom_mask, sigma=sigma)
+    return jnp.where(is_periodic, e_per, e_aper)

@@ -1,0 +1,139 @@
+'''End-to-end numerical parity of the TPU model vs the torch oracle.
+
+The oracle (tests/torch_oracle.py) restates the reference equations with
+dynamic edge lists + autograd; the TPU model uses dense masked message
+passing + jax.grad. Identical parameters must give allclose outputs in
+float64 (SURVEY.md section 4).
+'''
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonnet_tpu.models import NewtonNet
+
+import torch_oracle
+
+F64 = jnp.float64
+
+
+def make_batch(rng, sizes, n_pad, periodic=False, seed_scale=2.5):
+    '''Random padded batch + the equivalent flat PyG-style arrays.'''
+    rs = np.random.RandomState(0)
+    B = len(sizes)
+    z = np.zeros((B, n_pad), dtype=np.int32)
+    pos = np.zeros((B, n_pad, 3))
+    cell = np.zeros((B, 3, 3))
+    flat_z, flat_pos, flat_batch = [], [], []
+    for b, n in enumerate(sizes):
+        zb = rs.choice([1, 6, 7, 8], size=n)
+        pb = rs.randn(n, 3) * seed_scale
+        z[b, :n] = zb
+        pos[b, :n] = pb
+        if periodic:
+            cell[b] = np.diag([9.0, 10.0, 11.0]) + rs.rand(3, 3) * 0.0
+            pb = pb % np.diag(cell[b])
+            pos[b, :n] = pb
+        flat_z.append(zb)
+        flat_pos.append(pb)
+        flat_batch.append(np.full(n, b))
+    return (
+        jnp.asarray(z), jnp.asarray(pos, F64), jnp.asarray(cell, F64),
+        np.concatenate(flat_z), np.concatenate(flat_pos),
+        np.concatenate(flat_batch),
+    )
+
+
+@pytest.mark.parametrize('periodic', [False, True])
+@pytest.mark.parametrize('layer_norm', [False, True])
+def test_energy_force_parity(rng, periodic, layer_norm):
+    sizes = [5, 7]
+    z, pos, cell, fz, fpos, fbatch = make_batch(rng, sizes, n_pad=8,
+                                                periodic=periodic)
+    props = ['energy', 'gradient_force', 'virial', 'stress'] \
+        if periodic else ['energy', 'gradient_force']
+    # mic_mode='reference' reproduces the reference MIC exactly (including
+    # its cell-vs-cell^T gradient quirk, see ops/neighbors.py docstring);
+    # the physically exact default is covered by test_invariance.py.
+    model = NewtonNet(cutoff=5.0, n_features=16, n_basis=8, n_interactions=2,
+                      layer_norm=layer_norm, output_properties=props,
+                      mic_mode='reference', param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    out = model.apply(params, z, pos, cell)
+
+    ref = torch_oracle.forward(
+        jax.device_get(params), fz, fpos,
+        np.asarray(cell) if periodic else np.zeros((len(sizes), 3, 3)),
+        fbatch, cutoff=5.0, n_basis=8, n_interactions=2,
+        output_properties=props)
+
+    np.testing.assert_allclose(np.asarray(out['energy']),
+                               ref['energy'].detach().numpy(),
+                               rtol=1e-9, atol=1e-9)
+    # unpad forces to flat layout
+    force = np.concatenate([np.asarray(out['gradient_force'])[b, :n]
+                            for b, n in enumerate(sizes)])
+    np.testing.assert_allclose(force, ref['gradient_force'].detach().numpy(),
+                               rtol=1e-8, atol=1e-9)
+    if periodic:
+        np.testing.assert_allclose(np.asarray(out['virial']),
+                                   ref['virial'].detach().numpy(),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out['stress']),
+                                   ref['stress'].detach().numpy(),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_direct_heads_parity(rng):
+    sizes = [6, 4]
+    z, pos, cell, fz, fpos, fbatch = make_batch(rng, sizes, n_pad=8)
+    props = ['energy', 'charge', 'direct_force']
+    model = NewtonNet(n_features=16, n_basis=8, n_interactions=1,
+                      output_properties=props, param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    out = model.apply(params, z, pos, cell)
+
+    ref = torch_oracle.forward(jax.device_get(params), fz, fpos,
+                               np.zeros((2, 3, 3)), fbatch,
+                               n_basis=8, n_interactions=1,
+                               output_properties=props)
+    charge = np.concatenate([np.asarray(out['charge'])[b, :n]
+                             for b, n in enumerate(sizes)])
+    np.testing.assert_allclose(charge,
+                               ref['charge'].detach().numpy().ravel(),
+                               rtol=1e-9, atol=1e-10)
+    dforce = np.concatenate([np.asarray(out['direct_force'])[b, :n]
+                             for b, n in enumerate(sizes)])
+    np.testing.assert_allclose(dforce, ref['direct_force'].detach().numpy(),
+                               rtol=1e-9, atol=1e-10)
+    # energy here excludes the long-range term only if charge is absent;
+    # with a charge head the TPU energy includes Ewald (ref output.py:234),
+    # so compare short-range part by subtracting it.
+    from newtonnet_tpu.ops.ewald import ewald_energy
+    e_lr = ewald_energy(out['charge'], pos, cell, z > 0,
+                        sigma=model.ewald_sigma, n_k=model.ewald_n_k)
+    np.testing.assert_allclose(np.asarray(out['energy'] - e_lr),
+                               ref['energy'].detach().numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_hessian_matches_fd(rng):
+    sizes = [4]
+    z, pos, cell, *_ = make_batch(rng, sizes, n_pad=4)
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force',
+                                         'hessian'],
+                      param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    out = model.apply(params, z, pos, cell)
+    h = np.asarray(out['hessian'])[0]
+    # symmetry
+    np.testing.assert_allclose(h, h.transpose(2, 3, 0, 1), atol=1e-9)
+    # finite difference of forces
+    eps = 1e-5
+    i, d = 1, 0
+    fp = model.apply(params, z, pos.at[0, i, d].add(eps), cell)
+    fm = model.apply(params, z, pos.at[0, i, d].add(-eps), cell)
+    fd = -(np.asarray(fp['gradient_force'][0])
+           - np.asarray(fm['gradient_force'][0])) / (2 * eps)
+    np.testing.assert_allclose(h[i, d], fd, rtol=1e-5, atol=1e-6)
