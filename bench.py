@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+'''Benchmark: training-step throughput in edges/s/chip (the BASELINE.json
+north-star metric).
+
+Workload: the reference's own MD17-aspirin training configuration
+(scripts/config.yml -- 128 features, 20 Bessel basis, 3 interaction layers,
+cutoff 5 A, energy + gradient-force MSE loss) on real aspirin frames, with
+a full jitted train step (forward + force grad + backward + Adam update).
+"Edges" counts real directed edges (|d| < cutoff, i != j) processed per
+second per chip.
+
+vs_baseline compares against the plain-torch CPU implementation of the
+reference hot path (tools/torch_baseline.py; the reference repo itself
+cannot run here: no torch_geometric/ase/les, no GPU). The stored number in
+BENCH_BASELINE.json is refreshed by running that tool.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "edges/s/chip", "vs_baseline": R}
+'''
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+BATCH_SIZE = 100
+N_STEPS = 30
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def load_batch():
+    from newtonnet_tpu.data import MolecularInMemoryDataset, collate
+    root = os.path.join(HERE, 'data', 'md17_aspirin', 'ccsd_train')
+    ds = MolecularInMemoryDataset(root=root)
+    samples = [ds[i] for i in range(BATCH_SIZE)]
+    n_pad = max(8, -(-ds.max_atoms // 8) * 8)
+    return collate(samples, n_pad=n_pad, batch_pad=BATCH_SIZE)
+
+
+def count_edges(batch, cutoff=5.0):
+    from newtonnet_tpu.ops.neighbors import dense_graph
+
+    @jax.jit
+    def count(pos, cell, z):
+        _, adj = dense_graph(pos, cell, z > 0, cutoff)
+        return jnp.sum(adj)
+
+    return int(count(batch['pos'], batch['cell'], batch['z']))
+
+
+def main():
+    import optax
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import get_loss_by_string, get_optimizer_by_string
+
+    batch = {k: jnp.asarray(v) for k, v in load_batch().items()}
+    n_edges = count_edges(batch)
+
+    model = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
+                      n_interactions=3,
+                      output_properties=['energy', 'gradient_force'])
+    params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                        batch['cell'])
+    tx = get_optimizer_by_string('adam', clip_grad=1.0, lr=1e-3)
+    opt_state = tx.init(params)
+    main_loss, _ = get_loss_by_string(
+        {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            preds = model.apply(p, batch['z'], batch['pos'], batch['cell'])
+            return main_loss(preds, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # compile + warmup
+    params, opt_state, loss = train_step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(N_STEPS):
+        params, opt_state, loss = train_step(params, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / N_STEPS
+
+    edges_per_s = n_edges / dt
+
+    baseline_path = os.path.join(HERE, 'BENCH_BASELINE.json')
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get('edges_per_s'):
+            vs_baseline = edges_per_s / base['edges_per_s']
+
+    print(json.dumps({
+        'metric': 'edges/s/chip (train step, MD17 aspirin, B=100)',
+        'value': round(edges_per_s, 1),
+        'unit': 'edges/s/chip',
+        'vs_baseline': round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

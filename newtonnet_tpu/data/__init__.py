@@ -1,0 +1,12 @@
+from newtonnet_tpu.data.loader import (
+    MolecularDataset,
+    MolecularInMemoryDataset,
+    PaddedLoader,
+    Subset,
+    collate,
+    parse_npz,
+    parse_xyz,
+    random_split,
+)
+from newtonnet_tpu.data.pipeline import parse_train_test
+from newtonnet_tpu.data.statistics import compute_statistics, set_scalers

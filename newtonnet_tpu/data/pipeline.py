@@ -1,0 +1,92 @@
+'''Train/val/test dataset construction (reference: newtonnet/data/parse_raw.py).
+
+Same split-cascade semantics as parse_train_test (ref parse_raw.py:10-92):
+train from train_root (sized, remainder cascades to val), val from val_root
+or the train remainder, test from test_root or the val remainder; then
+statistics are computed from one stats batch of the training set.
+DataLoaders are replaced by static-shape PaddedLoaders.
+'''
+import numpy as np
+
+from newtonnet_tpu.data.loader import (
+    MolecularDataset,
+    MolecularInMemoryDataset,
+    PaddedLoader,
+    random_split,
+)
+from newtonnet_tpu.data.statistics import compute_statistics
+
+
+def parse_train_test(
+        in_memory=True,
+        train_root=None,
+        val_root=None,
+        test_root=None,
+        train_size=None,
+        val_size=None,
+        test_size=None,
+        stats_size=None,
+        train_batch_size=32,
+        val_batch_size=32,
+        test_batch_size=32,
+        seed=0,
+        n_pad=None,
+        **dataset_kwargs):
+    '''Build the three padded loaders + scaler statistics.
+
+    Returns:
+        (train_gen, val_gen, test_gen, stats)
+    '''
+    cls = MolecularInMemoryDataset if in_memory else MolecularDataset
+    rng = np.random.default_rng(seed)
+
+    print('Data:')
+    if train_root is None:
+        raise ValueError('train_root must be provided')
+    train_data = cls(root=train_root, **dataset_kwargs)
+    print(f'load {len(train_data)} data from {train_root}')
+    train_size = len(train_data) if train_size is None else train_size
+    train_data, left_data = random_split(
+        train_data, [train_size, len(train_data) - train_size], rng)
+    if val_root is not None:
+        val_data = cls(root=val_root, **dataset_kwargs)
+        print(f'load {len(val_data)} data from {val_root}')
+    else:
+        val_data = left_data
+    val_size = len(val_data) if val_size is None else val_size
+    val_data, left_data = random_split(
+        val_data, [val_size, len(val_data) - val_size], rng)
+    if test_root is not None:
+        test_data = cls(root=test_root, **dataset_kwargs)
+        print(f'load {len(test_data)} data from {test_root}')
+    else:
+        test_data = left_data
+    test_size = len(test_data) if test_size is None else test_size
+    test_data, _ = random_split(
+        test_data, [test_size, len(test_data) - test_size], rng)
+    print(f'data size (train, val, test): '
+          f'{len(train_data)}, {len(val_data)}, {len(test_data)}')
+
+    # one shared atom padding across the three loaders (one compile)
+    if n_pad is None:
+        n_pad = max(8, -(-max(d.max_atoms for d in
+                              (train_data, val_data, test_data)
+                              if len(d) > 0) // 8) * 8)
+
+    train_gen = PaddedLoader(train_data, train_batch_size, shuffle=True,
+                             n_pad=n_pad, seed=seed)
+    val_gen = PaddedLoader(val_data, val_batch_size, shuffle=len(val_data) > 0,
+                           n_pad=n_pad, seed=seed + 1)
+    test_gen = PaddedLoader(test_data, test_batch_size,
+                            shuffle=len(test_data) > 0, n_pad=n_pad,
+                            seed=seed + 2)
+    print(f'batch size (train, val, test): '
+          f'{train_batch_size}, {val_batch_size}, {test_batch_size}')
+
+    # statistics from one stats batch (ref parse_raw.py:81-88)
+    size = len(train_data) if stats_size is None else min(stats_size,
+                                                          len(train_data))
+    stats_idx = rng.permutation(len(train_data))[:size]
+    stats = compute_statistics(train_data[i] for i in stats_idx)
+
+    return train_gen, val_gen, test_gen, stats

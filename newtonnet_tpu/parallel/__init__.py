@@ -1,0 +1,1 @@
+from newtonnet_tpu.parallel.mesh import make_mesh

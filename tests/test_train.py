@@ -1,0 +1,151 @@
+'''Training subsystem tests: losses, schedulers, checkpoint round trip, and
+data-parallel sharding over the virtual 8-device CPU mesh.'''
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonnet_tpu.data.loader import collate, Sample
+from newtonnet_tpu.models import NewtonNet
+from newtonnet_tpu.train import get_loss_by_string
+from newtonnet_tpu.train.optimizer import ReduceLROnPlateau
+
+
+def _fake_samples(n, n_atoms=5, seed=0):
+    rs = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        out.append(Sample(
+            z=rs.choice([1, 6, 8], size=n_atoms).astype(np.int32),
+            pos=rs.randn(n_atoms, 3) * 2,
+            cell=np.zeros((3, 3)),
+            energy=rs.randn(),
+            force=rs.randn(n_atoms, 3)))
+    return out
+
+
+def test_masked_losses_ignore_padding():
+    samples = _fake_samples(3)
+    main, evals = get_loss_by_string(
+        {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
+    preds = {'energy': jnp.zeros(4), 'gradient_force': jnp.zeros((4, 8, 3))}
+    b1 = collate(samples, n_pad=8, batch_pad=4)  # one padding graph
+    b2 = collate(samples, n_pad=6, batch_pad=3)  # no padding graph
+    preds2 = {'energy': jnp.zeros(3), 'gradient_force': jnp.zeros((3, 6, 3))}
+    l1, l2 = main(preds, b1), main(preds2, b2)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    e1, e2 = evals(preds, b1), evals(preds2, b2)
+    for k in e1:
+        np.testing.assert_allclose(float(e1[k]), float(e2[k]), rtol=1e-6)
+
+
+def test_eval_loss_matches_torch_semantics():
+    '''Masked means must equal torch MSELoss/L1Loss over the unpadded data.'''
+    import torch
+    samples = _fake_samples(3)
+    b = collate(samples, n_pad=8, batch_pad=4)
+    rs = np.random.RandomState(1)
+    pred_e = rs.randn(4)
+    pred_f = rs.randn(4, 8, 3)
+    pred_f[3] = 0
+    pred_f[:, 5:] = 0  # padding rows
+    _, evals = get_loss_by_string({'energy': {}, 'gradient_force': {}})
+    out = evals({'energy': jnp.asarray(pred_e),
+                 'gradient_force': jnp.asarray(pred_f)}, b)
+
+    ref_e = torch.nn.functional.l1_loss(
+        torch.tensor(pred_e[:3]), torch.tensor(b['energy'][:3],
+                                               dtype=torch.float64))
+    flat_pred, flat_ref = [], []
+    for i, s in enumerate(samples):
+        flat_pred.append(pred_f[i, :5])
+        flat_ref.append(s['force'])
+    ref_f = torch.nn.functional.mse_loss(
+        torch.tensor(np.concatenate(flat_pred)),
+        torch.tensor(np.concatenate(flat_ref)))
+    np.testing.assert_allclose(float(out['energy_mae']), float(ref_e),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(out['gradient_force_mse']), float(ref_f),
+                               rtol=1e-6)
+
+
+def test_plateau_scheduler_matches_torch():
+    import torch
+    lin = torch.nn.Linear(1, 1)
+    opt = torch.optim.Adam(lin.parameters(), lr=1.0)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, factor=0.5, patience=2, min_lr=0.01)
+    mine = ReduceLROnPlateau(1.0, factor=0.5, patience=2, min_lr=0.01)
+    rs = np.random.RandomState(0)
+    vals = np.concatenate([np.linspace(1.0, 0.5, 5), 0.5 + rs.rand(20) * 0.01])
+    for v in vals:
+        ref.step(float(v))
+        mine.step(float(v))
+        assert abs(opt.param_groups[0]['lr'] - mine.lr) < 1e-12, \
+            (opt.param_groups[0]['lr'], mine.lr)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from newtonnet_tpu.utils import checkpoint as ckpt
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    z = jnp.asarray(np.array([[1, 6, 8, 0]], dtype=np.int32))
+    pos = jnp.asarray(np.random.RandomState(0).randn(1, 4, 3))
+    cell = jnp.zeros((1, 3, 3))
+    params = model.init(rng, z, pos, cell)
+    path = os.path.join(tmp_path, 'model.msgpack')
+    ckpt.save_model(path, model, params)
+    model2, params2 = ckpt.load_model(path)
+    assert model2.config_dict() == model.config_dict()
+    out1 = model.apply(params, z, pos, cell)
+    out2 = model2.apply(params2, z, pos, cell)
+    np.testing.assert_allclose(out1['energy'], out2['energy'], rtol=1e-7)
+
+
+def test_dp_sharded_train_step_matches_single_device(rng):
+    '''One DP step over the 8-device CPU mesh == the same step on 1 device.'''
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+    # numerical agreement: loss and grads equal with and without the mesh
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from newtonnet_tpu.parallel import make_mesh
+    model = NewtonNet(n_features=16, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    B, N = 8, 8
+    rs = np.random.RandomState(0)
+    z = jnp.asarray(rs.choice([1, 6, 8], size=(B, N)), jnp.int32)
+    pos = jnp.asarray(rs.randn(B, N, 3) * 2, jnp.float32)
+    cell = jnp.zeros((B, 3, 3), jnp.float32)
+    batch = {'z': z, 'pos': pos, 'cell': cell,
+             'energy': jnp.asarray(rs.randn(B), jnp.float32),
+             'force': jnp.asarray(rs.randn(B, N, 3), jnp.float32),
+             'graph_mask': jnp.ones((B,), bool)}
+    params = model.init(rng, z, pos, cell)
+    main_loss, _ = get_loss_by_string(
+        {'energy': {}, 'gradient_force': {'weight': 50.0}})
+
+    def loss_fn(p, batch):
+        preds = model.apply(p, batch['z'], batch['pos'], batch['cell'])
+        return main_loss(preds, batch)
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(params, batch)
+
+    mesh = make_mesh(data=8, graph=1)
+    batch_sh = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    step = jax.jit(jax.value_and_grad(loss_fn),
+                   in_shardings=(repl, jax.tree.map(lambda _: batch_sh,
+                                                    batch)),
+                   out_shardings=(repl, repl))
+    l_dp, g_dp = step(jax.device_put(params, repl),
+                      jax.device_put(batch, batch_sh))
+    np.testing.assert_allclose(float(l_ref), float(l_dp), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
