@@ -1,0 +1,3 @@
+from newtonnet_tpu.md.calculator import NewtonNetCalculator
+from newtonnet_tpu.md.integrators import Langevin, MDLogger, VelocityVerlet
+from newtonnet_tpu.md.system import System, maxwell_boltzmann

@@ -1,0 +1,142 @@
+'''Jitted single-system calculator: the MD force engine.
+
+The reference's MLAseCalculator rebuilds tensors and runs a fresh torch
+forward every MD step (newtonnet/utils/ase_interface.py:52-81). Here the
+forward is one persistent jitted function per (n_pad, properties) bucket:
+atom counts are rounded up to a multiple of 8 so that MD with a fixed
+molecule compiles exactly once, and systems of similar size share
+
+compilations. Inputs/outputs cross host<->device once per step.
+'''
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newtonnet_tpu.utils.checkpoint import load_model
+
+# ASE result name -> model output property (ref ase_interface.py:98-109)
+PROPERTY_MAP = {
+    'charges': 'charge',
+    'bec': 'bec',
+    'energy': 'energy',
+    'free_energy': 'energy',
+    'forces': 'gradient_force',
+    'stress': 'stress',
+    'virial': 'virial',
+    'hessian': 'hessian',
+}
+
+
+def _round_up(x, m=8):
+    return max(m, ((x + m - 1) // m) * m)
+
+
+class NewtonNetCalculator:
+    '''Evaluate a trained model on Systems (or arrays) with bucketed jit.
+
+    Args:
+        model_path: .msgpack checkpoint (or pass model=..., params=...).
+        properties: ASE-style result names to produce
+            (default: derived from the model's output_properties).
+        precision: 'float32' (TPU default) or 'float64'.
+        model, params: alternative to model_path.
+    '''
+
+    def __init__(self, model_path=None, properties=None, precision='float32',
+                 model=None, params=None):
+        if model_path is not None:
+            if str(model_path).endswith('.pt'):
+                # reference torch checkpoint
+                from newtonnet_tpu.utils.torch_import import \
+                    load_reference_model
+                model, params = load_reference_model(model_path)
+            else:
+                model, params = load_model(model_path)
+        if model is None:
+            raise ValueError('need model_path or (model, params)')
+
+        from newtonnet_tpu.layers.precision import get_precision_by_string
+        self.dtype = get_precision_by_string(precision)
+
+        if properties is None:
+            inv = {'charge': 'charges', 'energy': 'energy',
+                   'gradient_force': 'forces'}
+            properties = [inv[k] for k in model.output_properties if k in inv]
+        self.properties = list(properties)
+
+        # the model must expose every requested property; rebuild with the
+        # union if needed (ref ase_interface.py:110-121 mutates the head
+        # list; with shared-core heads we just extend output_properties --
+        # any newly added *direct* head would be untrained, so we only allow
+        # derivative/aggregation extensions, which reuse trained parameters)
+        needed = {PROPERTY_MAP[p] for p in self.properties}
+        missing = needed - set(model.output_properties)
+        param_needing = {'energy', 'charge', 'direct_force'}
+        untrained = missing & param_needing
+        if untrained:
+            raise ValueError(
+                f'checkpoint has no trained head(s) for {sorted(untrained)}; '
+                'the reference would silently attach untrained heads here '
+                '(ase_interface.py:110-115) -- refused by design')
+        if missing:
+            from newtonnet_tpu.models import NewtonNet
+            cfg = model.config_dict()
+            cfg['output_properties'] = list(model.output_properties) + \
+                sorted(missing)
+            model = NewtonNet(**cfg)
+        self.model = model
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, self.dtype),
+                                   params)
+        self._compiled = {}
+
+    # ------------------------------------------------------------------ #
+    def _fn(self, n_pad):
+        if n_pad not in self._compiled:
+            self._compiled[n_pad] = jax.jit(self.model.apply)
+        return self._compiled[n_pad]
+
+    def calculate(self, system=None, numbers=None, positions=None, cell=None):
+        '''Run the model on one system.
+
+        Returns a dict of numpy results keyed by the requested properties
+        (forces (n,3), stress Voigt-6, hessian (n,3,n,3), ...).
+        '''
+        if system is not None:
+            numbers, positions, cell = (system.numbers, system.positions,
+                                        system.cell)
+        numbers = np.asarray(numbers)
+        n = len(numbers)
+        n_pad = _round_up(n)
+        z = np.zeros((1, n_pad), dtype=np.int32)
+        z[0, :n] = numbers
+        pos = np.zeros((1, n_pad, 3), dtype=self.dtype)
+        pos[0, :n] = positions
+        c = np.zeros((1, 3, 3), dtype=self.dtype)
+        if cell is not None:
+            c[0] = cell
+
+        out = self._fn(n_pad)(self.params, jnp.asarray(z), jnp.asarray(pos),
+                              jnp.asarray(c))
+        out = jax.device_get(out)
+
+        results = {}
+        for prop in self.properties:
+            key = PROPERTY_MAP[prop]
+            v = np.asarray(out[key])
+            if prop in ('energy', 'free_energy'):
+                results[prop] = float(v[0])
+            elif prop == 'forces':
+                results[prop] = v[0, :n]
+            elif prop == 'charges':
+                results[prop] = v[0, :n]
+            elif prop == 'bec':
+                results[prop] = v[0, :n]
+            elif prop == 'hessian':
+                results[prop] = v[0, :n, :, :n, :]
+            elif prop == 'stress':
+                # Voigt order xx, yy, zz, yz, xz, xy (ref ase_interface.py:80)
+                s = v[0]
+                results[prop] = s[[0, 1, 2, 1, 0, 0], [0, 1, 2, 2, 2, 1]]
+            elif prop == 'virial':
+                results[prop] = v[0]
+        return results

@@ -1,0 +1,100 @@
+'''All-on-device MD: the whole trajectory under one lax.scan.
+
+The reference's MD hot loop crosses host<->device every step (ASE integrator
+calling the calculator, ase_interface.py:52-81 -- SURVEY.md section 3.4
+flags the h2d+d2h per step). On TPU that boundary dominates for small
+systems, so this driver keeps positions, momenta, forces and the thermostat
+RNG on device and runs N steps inside a single compiled scan; only the
+(strided) observables come back to the host at the end.
+
+The Langevin update uses exactly the same Vanden-Eijnden / Ciccotti
+coefficients as newtonnet_tpu/md/integrators.py (== ASE's).
+'''
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newtonnet_tpu.data.units import kB
+from newtonnet_tpu.data.xyz import ATOMIC_MASSES
+
+
+def _pad_system(system, dtype, multiple=8):
+    n = len(system)
+    n_pad = max(multiple, ((n + multiple - 1) // multiple) * multiple)
+    z = np.zeros((1, n_pad), dtype=np.int32)
+    z[0, :n] = system.numbers
+    pos = np.zeros((n_pad, 3), dtype=dtype)
+    pos[:n] = system.positions
+    mom = np.zeros((n_pad, 3), dtype=dtype)
+    mom[:n] = system.momenta
+    masses = np.ones(n_pad, dtype=dtype)
+    masses[:n] = system.masses
+    cell = np.asarray(system.cell, dtype=dtype).reshape(1, 3, 3)
+    return z, pos, mom, masses, cell, n
+
+
+@partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every'))
+def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
+                  friction, n_steps, log_every, key):
+    masses_c = masses[:, None]
+    atom_mask = (z[0] > 0).astype(pos0.dtype)[:, None]
+    sigma = jnp.sqrt(2 * temp * friction / masses_c)
+    c1 = dt / 2.0 - dt * dt * friction / 8.0
+    c2 = dt * friction / 2.0 - dt * dt * friction * friction / 8.0
+    c3 = jnp.sqrt(dt) * sigma / 2.0 - dt ** 1.5 * friction * sigma / 8.0
+    c5 = dt ** 1.5 * sigma / (2.0 * jnp.sqrt(3.0))
+    c4 = friction / 2.0 * c5
+
+    def energy_forces(pos):
+        out = model.apply(params, z, pos[None], cell)
+        return out['energy'][0], out['gradient_force'][0]
+
+    e0, f0 = energy_forces(pos0)
+
+    def body(carry, key):
+        pos, vel, f, _ = carry
+        xi = jax.random.normal(key, pos.shape, pos.dtype)
+        key2 = jax.random.fold_in(key, 1)
+        eta = jax.random.normal(key2, pos.shape, pos.dtype)
+        vel = (vel + c1 * f / masses_c - c2 * vel
+               + c3 * xi - c4 * eta) * atom_mask
+        pos = pos + dt * vel + c5 * eta * atom_mask
+        epot, f = energy_forces(pos)
+        vel = (vel + c1 * f / masses_c - c2 * vel
+               + c3 * xi - c4 * eta) * atom_mask
+        ekin = 0.5 * jnp.sum(masses_c * vel * vel)
+        return (pos, vel, f, epot), (epot, ekin)
+
+    vel0 = mom0 / masses_c
+    (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
+        body, (pos0, vel0, f0, e0), jax.random.split(key, n_steps))
+    return pos, vel * masses_c, epots[::log_every], ekins[::log_every]
+
+
+def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
+                           friction, n_steps, log_every=100, seed=0,
+                           dtype=np.float32):
+    '''Run Langevin MD fully on device.
+
+    Returns (system, log): the input System updated in place to the final
+    state, and a dict with strided 'epot', 'ekin', 'temperature' arrays.
+    '''
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    z, pos, mom, masses, cell, n = _pad_system(system, dtype)
+    pos_f, mom_f, epots, ekins = _run_langevin(
+        model, params, jnp.asarray(z), jnp.asarray(pos), jnp.asarray(mom),
+        jnp.asarray(masses), jnp.asarray(cell),
+        dt=float(timestep), temp=float(kB * temperature_K),
+        friction=float(friction), n_steps=int(n_steps),
+        log_every=int(log_every), key=jax.random.PRNGKey(seed))
+    system.positions = np.asarray(pos_f)[:n].astype(np.float64)
+    system.momenta = np.asarray(mom_f)[:n].astype(np.float64)
+    dof = 3 * n
+    ekins = np.asarray(ekins)
+    return system, {
+        'epot': np.asarray(epots),
+        'ekin': ekins,
+        'temperature': 2.0 * ekins / (dof * kB),
+    }

@@ -20,7 +20,7 @@ with a=sqrt(5) == U(+-1/sqrt(fan_in)) for both kernel and bias; nn.Embedding
 N(0, 1) with the padding row zeroed) so that training dynamics are
 comparable to the reference run.
 '''
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,22 @@ from newtonnet_tpu.layers.representations import (
     scaled_norm,
 )
 from newtonnet_tpu.ops.neighbors import dense_graph
+from newtonnet_tpu.ops.nlist import gather_nodes, neighbor_list
+
+
+class DenseEdges(NamedTuple):
+    '''Dense pair-tensor graph: j-axis is the full atom axis.'''
+    dir: jnp.ndarray   # (B, N, N, 3)
+    rbf: jnp.ndarray   # (B, N, N, n_basis)
+    adj: jnp.ndarray   # (B, N, N) bool
+
+
+class NeighborEdges(NamedTuple):
+    '''Padded neighbor-list graph: j-axis is the K neighbor slots.'''
+    idx: jnp.ndarray   # (B, N, K) int32
+    mask: jnp.ndarray  # (B, N, K) bool
+    dir: jnp.ndarray   # (B, N, K, 3)
+    rbf: jnp.ndarray   # (B, N, K, n_basis)
 
 
 def _torch_uniform_init(bound):
@@ -99,20 +115,21 @@ class InteractionNet(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, atom_node, force_node, dir_edge, rbf_edge, adj):
+    def __call__(self, atom_node, force_node, edges):
         '''
         Args:
             atom_node:  (B, N, F) invariant node features.
             force_node: (B, N, 3, F) equivariant node features.
-            dir_edge:   (B, N, N, 3) unit directions (i->j rows).
-            rbf_edge:   (B, N, N, n_basis) enveloped radial basis.
-            adj:        (B, N, N) bool adjacency mask.
+            edges: DenseEdges or NeighborEdges (same parameters either way,
+                so one checkpoint serves both graph layouts).
 
         Returns:
             updated (atom_node, force_node).
         '''
         f = self.n_features
-        adj_f = adj[..., None].astype(atom_node.dtype)  # (B, N, N, 1)
+        dense = isinstance(edges, DenseEdges)
+        w = (edges.adj if dense else edges.mask)[..., None] \
+            .astype(atom_node.dtype)
 
         # invariant message: W_rbf(d_ij) * phi(a)_i * phi(a)_j  (ref :209-211)
         message_nodepart = MLP([f, f], self.activation,
@@ -120,10 +137,12 @@ class InteractionNet(nn.Module):
                                name='message_nodepart')(atom_node)  # (B,N,F)
         message_edgepart = TorchLinear(f, use_bias=False,
                                        param_dtype=self.param_dtype,
-                                       name='message_edgepart')(rbf_edge)
+                                       name='message_edgepart')(edges.rbf)
+        nodepart_j = (message_nodepart[:, None, :, :] if dense
+                      else gather_nodes(message_nodepart, edges.idx))
         message = (message_edgepart
                    * message_nodepart[:, :, None, :]
-                   * message_nodepart[:, None, :, :]) * adj_f  # (B, N, N, F)
+                   * nodepart_j) * w  # (B, N, J, F); J = N or K
 
         # invariant update: sum over neighbors j  (ref scatter at :214)
         atom_node = atom_node + jnp.sum(message, axis=2)
@@ -131,14 +150,18 @@ class InteractionNet(nn.Module):
         # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
         phi1 = MLP([f, f], self.activation, use_bias=False,
                    param_dtype=self.param_dtype,
-                   name='equiv_message1')(message) * adj_f
-        equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, dir_edge)
+                   name='equiv_message1')(message) * w
+        equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, edges.dir)
 
         # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
         phi2 = MLP([f, f], self.activation, use_bias=False,
                    param_dtype=self.param_dtype,
-                   name='equiv_message2')(message) * adj_f
-        equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_node)
+                   name='equiv_message2')(message) * w
+        if dense:
+            equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_node)
+        else:
+            force_j = gather_nodes(force_node, edges.idx)  # (B, N, K, 3, F)
+            equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
 
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
         force_node = force_node + equiv1 + equiv2
@@ -211,6 +234,8 @@ class NewtonNetCore(nn.Module):
     layer_norm: bool = False
     output_properties: Sequence[str] = ()
     mic_mode: str = 'exact'
+    graph_mode: str = 'dense'  # 'dense' (molecules) | 'neighborlist' (large)
+    k_max: int = 48            # neighbor capacity in neighborlist mode
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -240,18 +265,28 @@ class NewtonNetCore(nn.Module):
         force_node = jnp.zeros(z.shape + (3, self.n_features), pos.dtype)
 
         # edge embedding (ref EmbeddingNet:159 -> representations.py:20-43)
-        disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
-                                mic_mode=self.mic_mode)
-        dist, dir_edge = scaled_norm(disp, self.cutoff)  # (B,N,N,1), (B,N,N,3)
-        rbf_edge = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+        if self.graph_mode == 'dense':
+            disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
+                                    mic_mode=self.mic_mode)
+            dist, dir_edge = scaled_norm(disp, self.cutoff)
+            rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+            edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
+        elif self.graph_mode == 'neighborlist':
+            idx, kmask, disp, _ = neighbor_list(
+                pos, cell, atom_mask, self.cutoff, self.k_max,
+                mic_mode=self.mic_mode)
+            dist, dir_edge = scaled_norm(disp, self.cutoff)
+            rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+            edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf)
+        else:
+            raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
         # message passing stack (ref newtonnet.py:93-94)
         for i in range(self.n_interactions):
             atom_node, force_node = InteractionNet(
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, param_dtype=self.param_dtype,
-                name=f'interaction_{i}')(
-                    atom_node, force_node, dir_edge, rbf_edge, adj)
+                name=f'interaction_{i}')(atom_node, force_node, edges)
 
         outputs = {'atom_node': atom_node, 'force_node': force_node}
 

@@ -58,6 +58,8 @@ class NewtonNet:
             layer_norm: bool = False,
             output_properties: Sequence[str] = (),
             mic_mode: str = 'exact',
+            graph_mode: str = 'dense',
+            k_max: int = 48,
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             param_dtype=jnp.float32,
@@ -74,6 +76,8 @@ class NewtonNet:
         self.activation = activation
         self.layer_norm = layer_norm
         self.mic_mode = mic_mode
+        self.graph_mode = graph_mode
+        self.k_max = k_max
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.param_dtype = param_dtype
@@ -90,7 +94,8 @@ class NewtonNet:
             cutoff=cutoff, n_features=n_features, n_basis=n_basis,
             n_interactions=n_interactions, activation=activation,
             layer_norm=layer_norm, output_properties=core_props,
-            mic_mode=mic_mode, param_dtype=param_dtype)
+            mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
+            param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -108,7 +113,8 @@ class NewtonNet:
             'n_basis': self.n_basis, 'n_interactions': self.n_interactions,
             'activation': self.activation, 'layer_norm': self.layer_norm,
             'output_properties': list(self.output_properties),
-            'mic_mode': self.mic_mode, 'ewald_sigma': self.ewald_sigma,
+            'mic_mode': self.mic_mode, 'graph_mode': self.graph_mode,
+            'k_max': self.k_max, 'ewald_sigma': self.ewald_sigma,
             'ewald_n_k': self.ewald_n_k,
         }
 

@@ -1,0 +1,101 @@
+'''Padded neighbor lists for large systems.
+
+The dense (B, N, N) pair tensor (ops/neighbors.py) is ideal for molecular
+workloads but scales O(N^2 * F) in memory through the message-passing
+feature maps. For condensed-phase systems the graph is built instead as a
+padded per-atom neighbor list:
+
+    idx  (B, N, K) int32  -- neighbor indices j for each atom i
+    mask (B, N, K) bool   -- validity (|d| < r, i != j, both real)
+    disp (B, N, K, 3)     -- displacement pos_i - pos_j (minimum-imaged)
+
+with static K = k_max. Message passing then works on (B, N, K, ...)
+tensors: gathers along the atom axis plus a regular sum over K -- no
+scatter anywhere, and O(N * K * F) memory.
+
+Construction is O(N^2) in distances but row-chunked (never materializing
+more than (chunk, N) at once) and selects the K nearest in-range neighbors
+per atom with top_k; overflow (more than K neighbors inside the cutoff)
+drops the farthest and is reported via `overflow` so callers can re-bucket.
+A cell-list construction for very large N is a planned optimization.
+'''
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from newtonnet_tpu.ops.neighbors import minimum_image
+
+
+def neighbor_list(pos, cell, atom_mask, cutoff, k_max, mic_mode='exact',
+                  chunk=512):
+    '''Build padded neighbor lists.
+
+    Args:
+        pos: (B, N, 3); cell: (B, 3, 3); atom_mask: (B, N) bool.
+        cutoff: radius; k_max: static neighbor capacity K.
+        chunk: row-block size for distance computation.
+
+    Returns:
+        idx (B, N, K) int32, mask (B, N, K) bool, disp (B, N, K, 3),
+        overflow (B,) int32 -- number of atoms whose in-range neighbor count
+        exceeded K (their farthest neighbors were dropped).
+    '''
+    B, N = pos.shape[:2]
+    k_max = min(k_max, N - 1) if N > 1 else 1
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+
+    n_chunks = -(-N // chunk)
+    pad_n = n_chunks * chunk
+    pos_p = jnp.pad(pos, ((0, 0), (0, pad_n - N), (0, 0)))
+    mask_p = jnp.pad(atom_mask, ((0, 0), (0, pad_n - N)))
+
+    def per_chunk(c):
+        rows = jax.lax.dynamic_slice_in_dim(pos_p, c * chunk, chunk, axis=1)
+        rmask = jax.lax.dynamic_slice_in_dim(mask_p, c * chunk, chunk, axis=1)
+        disp = rows[:, :, None, :] - pos[:, None, :, :]  # (B, chunk, N, 3)
+        disp = minimum_image(disp, cell, is_periodic, mic_mode=mic_mode)
+        d2 = jnp.sum(disp * disp, axis=-1)
+        row_ids = (jnp.arange(chunk)[None, :, None] + c * chunk)
+        col_ids = jnp.arange(N)[None, None, :]
+        valid = (rmask[:, :, None] & atom_mask[:, None, :]
+                 & (row_ids != col_ids) & (d2 < cutoff * cutoff))
+        # K nearest valid neighbors; invalid entries pushed to -inf score
+        score = jnp.where(valid, -d2, -jnp.inf)
+        top_score, top_idx = jax.lax.top_k(score, k_max)  # (B, chunk, K)
+        kmask = jnp.isfinite(top_score)
+        n_valid = jnp.sum(valid, axis=-1)  # (B, chunk)
+        over = jnp.sum((n_valid > k_max) & rmask, axis=-1)  # (B,)
+        return top_idx.astype(jnp.int32), kmask, over
+
+    idx_c, mask_c, over_c = jax.lax.map(per_chunk, jnp.arange(n_chunks))
+    # (n_chunks, B, chunk, K) -> (B, N, K)
+    idx = jnp.moveaxis(idx_c, 0, 1).reshape(B, pad_n, k_max)[:, :N]
+    kmask = jnp.moveaxis(mask_c, 0, 1).reshape(B, pad_n, k_max)[:, :N]
+    overflow = jnp.sum(over_c, axis=0)
+
+    idx = jnp.where(kmask, idx, 0)
+    disp = pos[:, :, None, :] - jnp.take_along_axis(
+        pos, idx.reshape(B, -1, 1), axis=1).reshape(B, N, k_max, 3)
+    disp = _mic_edges(disp, cell, is_periodic, mic_mode)
+    return idx, kmask, disp, overflow
+
+
+def _mic_edges(disp, cell, is_periodic, mic_mode):
+    '''minimum_image over (B, N, K, 3) edge displacements.'''
+    B, N, K, _ = disp.shape
+    out = minimum_image(disp.reshape(B, N * K, 1, 3), cell, is_periodic,
+                        mic_mode=mic_mode)
+    return out.reshape(B, N, K, 3)
+
+
+def gather_nodes(x, idx):
+    '''Gather per-atom features at neighbor indices.
+
+    x: (B, N, ...) -> (B, N, K, ...) for idx (B, N, K).
+    '''
+    B, N = x.shape[:2]
+    K = idx.shape[-1]
+    flat = jnp.take_along_axis(
+        x.reshape(B, N, -1), idx.reshape(B, N * K, 1), axis=1)
+    return flat.reshape((B, N, K) + x.shape[2:])

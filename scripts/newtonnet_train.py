@@ -59,6 +59,11 @@ def main():
     device = settings['general'].get('device', None)
     if device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    matmul_precision = settings['general'].get('matmul_precision', None)
+    if matmul_precision is not None:
+        # 'highest' = full-fp32 matmul passes on TPU (the MXU's native path
+        # is bf16; force-accuracy targets need the 3-pass fp32 mode)
+        jax.config.update('jax_default_matmul_precision', matmul_precision)
     precision = get_precision_by_string(settings['general']['precision'])
     np_precision = np.dtype(str(np.dtype(precision)))
 

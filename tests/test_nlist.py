@@ -1,0 +1,75 @@
+'''Neighbor-list path: construction correctness and dense-vs-sparse model
+equivalence (same parameters must give identical outputs when K is large
+enough to hold every in-range neighbor).'''
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonnet_tpu.models import NewtonNet
+from newtonnet_tpu.ops.neighbors import dense_graph
+from newtonnet_tpu.ops.nlist import neighbor_list
+
+F64 = jnp.float64
+
+
+def _random_system(rng_seed, B, N, periodic=False):
+    rs = np.random.RandomState(rng_seed)
+    z = rs.choice([1, 6, 8], size=(B, N)).astype(np.int32)
+    z[:, -2:] = 0
+    pos = rs.randn(B, N, 3) * 3.0
+    cell = np.zeros((B, 3, 3))
+    if periodic:
+        for b in range(B):
+            cell[b] = np.diag([9.0, 8.0, 10.0])
+            pos[b] = pos[b] % np.diag(cell[b])
+    return jnp.asarray(z), jnp.asarray(pos, F64), jnp.asarray(cell, F64)
+
+
+@pytest.mark.parametrize('periodic', [False, True])
+def test_neighbor_list_matches_dense(periodic):
+    z, pos, cell = _random_system(0, 2, 12, periodic)
+    mask = z > 0
+    cutoff = 5.0
+    disp_d, adj = dense_graph(pos, cell, mask, cutoff)
+    idx, kmask, disp_nl, overflow = neighbor_list(pos, cell, mask, cutoff,
+                                                  k_max=11)
+    assert int(overflow.sum()) == 0
+    # same neighbor sets
+    counts_dense = np.asarray(jnp.sum(adj, axis=-1))
+    counts_nl = np.asarray(jnp.sum(kmask, axis=-1))
+    np.testing.assert_array_equal(counts_dense, counts_nl)
+    # same displacements per (i, j) pair
+    for b in range(z.shape[0]):
+        for i in range(z.shape[1]):
+            pairs_nl = {int(j): np.asarray(disp_nl[b, i, k])
+                        for k, j in enumerate(np.asarray(idx[b, i]))
+                        if kmask[b, i, k]}
+            for j in range(z.shape[1]):
+                if adj[b, i, j]:
+                    np.testing.assert_allclose(
+                        pairs_nl[j], np.asarray(disp_d[b, i, j]), atol=1e-12)
+
+
+def test_neighbor_list_overflow_reported():
+    z, pos, cell = _random_system(1, 1, 10)
+    mask = z > 0
+    _, _, _, overflow = neighbor_list(pos, cell, mask, 50.0, k_max=3)
+    assert int(overflow.sum()) > 0
+
+
+@pytest.mark.parametrize('periodic', [False, True])
+def test_model_dense_vs_neighborlist(rng, periodic):
+    '''Same params, both graph modes -> identical energies and forces.'''
+    z, pos, cell = _random_system(2, 2, 10, periodic)
+    common = dict(n_features=16, n_basis=8, n_interactions=2,
+                  output_properties=['energy', 'gradient_force'],
+                  param_dtype=F64)
+    dense_model = NewtonNet(graph_mode='dense', **common)
+    nl_model = NewtonNet(graph_mode='neighborlist', k_max=9, **common)
+    params = dense_model.init(rng, z, pos, cell)
+    out_d = dense_model.apply(params, z, pos, cell)
+    out_n = nl_model.apply(params, z, pos, cell)  # identical param layout
+    np.testing.assert_allclose(out_d['energy'], out_n['energy'], rtol=1e-10)
+    np.testing.assert_allclose(out_d['gradient_force'],
+                               out_n['gradient_force'], atol=1e-10)
