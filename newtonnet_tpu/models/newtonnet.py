@@ -32,7 +32,7 @@ from newtonnet_tpu.layers.representations import (
     radial_bessel,
     scaled_norm,
 )
-from newtonnet_tpu.ops.neighbors import dense_graph
+from newtonnet_tpu.ops.neighbors import dense_graph, dense_graph_sharded
 from newtonnet_tpu.ops.nlist import gather_nodes, neighbor_list
 
 
@@ -112,24 +112,39 @@ class InteractionNet(nn.Module):
     n_features: int
     activation: Callable
     layer_norm: bool = False
+    shard_axis: str = ''  # mesh axis name for atom-sharded (graph-parallel)
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, atom_node, force_node, edges):
         '''
         Args:
-            atom_node:  (B, N, F) invariant node features.
+            atom_node:  (B, N, F) invariant node features (N = local atoms
+                when shard_axis is set; the j-axis is then global).
             force_node: (B, N, 3, F) equivariant node features.
             edges: DenseEdges or NeighborEdges (same parameters either way,
                 so one checkpoint serves both graph layouts).
 
         Returns:
             updated (atom_node, force_node).
+
+        Graph-parallel mode (shard_axis nonempty, dense edges): runs inside
+        shard_map with atoms partitioned over the mesh axis; per layer, the
+        neighbor-side node features are all-gathered over ICI (backward =
+        reduce-scatter), everything else stays local. This is the graph
+        analogue of context parallelism (SURVEY.md section 5).
         '''
         f = self.n_features
         dense = isinstance(edges, DenseEdges)
         w = (edges.adj if dense else edges.mask)[..., None] \
             .astype(atom_node.dtype)
+
+        def gather_cols(x):
+            # local -> global along the atom axis when graph-parallel
+            if self.shard_axis:
+                return jax.lax.all_gather(x, self.shard_axis, axis=1,
+                                          tiled=True)
+            return x
 
         # invariant message: W_rbf(d_ij) * phi(a)_i * phi(a)_j  (ref :209-211)
         message_nodepart = MLP([f, f], self.activation,
@@ -138,7 +153,7 @@ class InteractionNet(nn.Module):
         message_edgepart = TorchLinear(f, use_bias=False,
                                        param_dtype=self.param_dtype,
                                        name='message_edgepart')(edges.rbf)
-        nodepart_j = (message_nodepart[:, None, :, :] if dense
+        nodepart_j = (gather_cols(message_nodepart)[:, None, :, :] if dense
                       else gather_nodes(message_nodepart, edges.idx))
         message = (message_edgepart
                    * message_nodepart[:, :, None, :]
@@ -158,7 +173,8 @@ class InteractionNet(nn.Module):
                    param_dtype=self.param_dtype,
                    name='equiv_message2')(message) * w
         if dense:
-            equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_node)
+            equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2,
+                                gather_cols(force_node))
         else:
             force_j = gather_nodes(force_node, edges.idx)  # (B, N, K, 3, F)
             equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
@@ -236,6 +252,7 @@ class NewtonNetCore(nn.Module):
     mic_mode: str = 'exact'
     graph_mode: str = 'dense'  # 'dense' (molecules) | 'neighborlist' (large)
     k_max: int = 48            # neighbor capacity in neighborlist mode
+    shard_axis: str = ''       # mesh axis for atom-sharded graph parallelism
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -266,8 +283,13 @@ class NewtonNetCore(nn.Module):
 
         # edge embedding (ref EmbeddingNet:159 -> representations.py:20-43)
         if self.graph_mode == 'dense':
-            disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
-                                    mic_mode=self.mic_mode)
+            if self.shard_axis:
+                disp, adj = dense_graph_sharded(
+                    pos, cell, atom_mask, self.cutoff, self.shard_axis,
+                    mic_mode=self.mic_mode)
+            else:
+                disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
+                                        mic_mode=self.mic_mode)
             dist, dir_edge = scaled_norm(disp, self.cutoff)
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
@@ -285,7 +307,8 @@ class NewtonNetCore(nn.Module):
         for i in range(self.n_interactions):
             atom_node, force_node = InteractionNet(
                 n_features=self.n_features, activation=act,
-                layer_norm=self.layer_norm, param_dtype=self.param_dtype,
+                layer_norm=self.layer_norm, shard_axis=self.shard_axis,
+                param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
 
         outputs = {'atom_node': atom_node, 'force_node': force_node}

@@ -88,3 +88,38 @@ def dense_graph(pos, cell, atom_mask, cutoff, mic_mode='exact'):
     d2 = jnp.sum(disp * disp, axis=-1)
     adj = pair_mask & (d2 < cutoff * cutoff)
     return disp, adj
+
+
+def dense_graph_sharded(pos, cell, atom_mask, cutoff, axis_name,
+                        mic_mode='exact'):
+    '''Atom-sharded dense graph: local rows vs all-gathered global columns.
+
+    Runs inside shard_map with the atom axis partitioned over `axis_name`.
+    Positions/masks of all shards are all-gathered once (they are small,
+    (B, N, 3)); the O(N_loc x N) pair tensors stay local.
+
+    Args:
+        pos: (B, N_loc, 3) this shard's positions.
+        atom_mask: (B, N_loc) this shard's validity.
+
+    Returns:
+        disp (B, N_loc, N, 3), adj (B, N_loc, N) -- rows local, cols global.
+    '''
+    import jax
+
+    pos_all = jax.lax.all_gather(pos, axis_name, axis=1, tiled=True)
+    mask_all = jax.lax.all_gather(atom_mask, axis_name, axis=1, tiled=True)
+    n_loc = pos.shape[1]
+    n = pos_all.shape[1]
+    offset = jax.lax.axis_index(axis_name) * n_loc
+
+    disp = pos[:, :, None, :] - pos_all[:, None, :, :]  # (B, N_loc, N, 3)
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    disp = minimum_image(disp, cell, is_periodic, mic_mode=mic_mode)
+
+    row_ids = offset + jnp.arange(n_loc)
+    not_self = row_ids[:, None] != jnp.arange(n)[None, :]
+    pair_mask = atom_mask[:, :, None] & mask_all[:, None, :] & not_self
+    d2 = jnp.sum(disp * disp, axis=-1)
+    adj = pair_mask & (d2 < cutoff * cutoff)
+    return disp, adj

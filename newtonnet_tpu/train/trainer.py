@@ -143,7 +143,11 @@ class Trainer:
         model, main_loss, eval_loss, tx = (self.model, self.main_loss,
                                            self.eval_loss, self.tx)
 
-        def train_step(params, opt_state, batch):
+        def train_step(params, opt_state, totals, batch):
+            # `totals` accumulates per-epoch metric sums ON DEVICE -- the
+            # host only fetches once per epoch (a per-step device_get would
+            # force a sync round trip per step, which dominates on the
+            # tunneled TPU backend).
             def loss_fn(p):
                 preds = model.apply(p, batch['z'], batch['pos'],
                                     batch['cell'])
@@ -153,39 +157,41 @@ class Trainer:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics = {'loss': loss, **eval_loss(preds, batch)}
-            return params, opt_state, metrics
+            totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
+            return params, opt_state, totals
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None:
             # DP: data sharded, state replicated; XLA inserts the grad psum.
             return jax.jit(
-                train_step, donate_argnums=(0, 1),
-                in_shardings=(repl, repl,
+                train_step, donate_argnums=(0, 1, 2),
+                in_shardings=(repl, repl, repl,
                               jax.tree.map(lambda _: batch_sh, {
                                   'z': 0, 'pos': 0, 'cell': 0, 'energy': 0,
                                   'force': 0, 'graph_mask': 0})),
                 out_shardings=(repl, repl, repl))
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
         model, main_loss, eval_loss = (self.model, self.main_loss,
                                        self.eval_loss)
 
-        def eval_step(params, batch):
+        def eval_step(params, totals, batch):
             preds = model.apply(params, batch['z'], batch['pos'],
                                 batch['cell'])
-            return {'loss': main_loss(preds, batch),
-                    **eval_loss(preds, batch)}
+            metrics = {'loss': main_loss(preds, batch),
+                       **eval_loss(preds, batch)}
+            return jax.tree.map(lambda t, m: t + m, totals, metrics)
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None:
             return jax.jit(
-                eval_step,
-                in_shardings=(repl, jax.tree.map(lambda _: batch_sh, {
+                eval_step, donate_argnums=(1,),
+                in_shardings=(repl, repl, jax.tree.map(lambda _: batch_sh, {
                     'z': 0, 'pos': 0, 'cell': 0, 'energy': 0, 'force': 0,
                     'graph_mask': 0})),
                 out_shardings=repl)
-        return jax.jit(eval_step)
+        return jax.jit(eval_step, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ #
     def make_subdirs(self, output_base_path, script_path, settings_path):
@@ -365,16 +371,29 @@ class Trainer:
     def run_one_epoch(self, generator, step=False):
         '''One pass over a loader; average metrics per batch
         (ref trainer.py:299-318).'''
-        totals = {}
+        metric_names = ['loss'] + self._eval_metric_names()
+        totals = {k: jax.numpy.zeros((), jax.numpy.float32)
+                  for k in metric_names}
         n = 0
         for batch in generator:
             if step:
-                self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, batch)
+                self.params, self.opt_state, totals = self._train_step(
+                    self.params, self.opt_state, totals, batch)
             else:
-                metrics = self._eval_step(self.params, batch)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals = self._eval_step(self.params, totals, batch)
             n += 1
-        return {k: v / max(n, 1) for k, v in totals.items()}
+        totals = jax.device_get(totals)
+        return {k: float(v) / max(n, 1) for k, v in totals.items()}
+
+    def _eval_metric_names(self):
+        if not hasattr(self, '_metric_names_cache'):
+            zero = {'energy': jax.numpy.zeros(1),
+                    'gradient_force': jax.numpy.zeros((1, 1, 3)),
+                    'direct_force': jax.numpy.zeros((1, 1, 3))}
+            fake_batch = {'z': jax.numpy.ones((1, 1), jax.numpy.int32),
+                          'energy': jax.numpy.zeros(1),
+                          'force': jax.numpy.zeros((1, 1, 3)),
+                          'graph_mask': jax.numpy.ones(1, bool)}
+            self._metric_names_cache = sorted(
+                jax.eval_shape(self.eval_loss, zero, fake_batch).keys())
+        return self._metric_names_cache
