@@ -27,7 +27,8 @@ Bohr = (4e10 * math.pi * (1 / (_mu0 * _c**2)) * _hplanck**2
         / (4 * math.pi**2) / _me / _e**2)  # ~0.52917721 Angstrom
 
 eV = 1.0
-Hartree = Ha = _me * _e**3 / 16 / math.pi**2 / ((1 / (_mu0 * _c**2)) * _hplanck / (2 * math.pi))**2 / _e  # noqa: E501  ~27.2113845 eV
+_eps0 = 1.0 / (_mu0 * _c**2)
+Hartree = Ha = _e / (4 * math.pi * _eps0 * Bohr * 1e-10)  # ~27.211386 eV
 kJ = 1000.0 / _e
 kcal = 4.184 * kJ
 mol = _nav

@@ -1,0 +1,144 @@
+'''Data pipeline tests: extxyz round trip, units, datasets, statistics,
+bucketing/padding, and the npz parser the reference left unimplemented.'''
+import os
+
+import numpy as np
+import pytest
+
+from newtonnet_tpu.data import (
+    MolecularDataset,
+    MolecularInMemoryDataset,
+    PaddedLoader,
+    collate,
+)
+from newtonnet_tpu.data.statistics import compute_statistics
+from newtonnet_tpu.data.units import get_unit
+from newtonnet_tpu.data.xyz import Frame, read_extxyz, write_extxyz
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ASPIRIN = os.path.join(REPO, 'data', 'md17_aspirin', 'ccsd_test', 'raw',
+                       'aspirin_ccsd-test.xyz')
+
+
+def test_units_match_ase_values():
+    # spot values from ase.units (CODATA 2014)
+    assert abs(get_unit('kcal/mol') - 0.04336410390059322) < 1e-12
+    assert abs(get_unit('kJ/mol') - 0.010364269574711572) < 1e-12
+    assert abs(get_unit('Ha') - 27.211386024367243) < 1e-7
+    assert abs(get_unit('Bohr') - 0.5291772105638411) < 1e-12
+    assert abs(get_unit('fs') - 0.09822694788464063) < 1e-12
+    with pytest.raises(ValueError):
+        get_unit('parsec')
+
+
+def test_read_shipped_extxyz():
+    frames = read_extxyz(ASPIRIN)
+    assert len(frames) == 500
+    f = frames[0]
+    assert len(f) == 21
+    assert f.energy is not None and f.forces.shape == (21, 3)
+    assert not f.pbc.any()
+    assert sorted(set(f.numbers.tolist())) == [1, 6, 8]
+
+
+def test_extxyz_roundtrip(tmp_path):
+    rs = np.random.RandomState(0)
+    frame = Frame(numbers=[8, 1, 1], positions=rs.randn(3, 3),
+                  cell=np.diag([9., 9., 9.]), pbc=[True, True, True],
+                  energy=-76.4, forces=rs.randn(3, 3))
+    path = os.path.join(tmp_path, 'w.xyz')
+    write_extxyz(path, [frame, frame])
+    back = read_extxyz(path)
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0].numbers, frame.numbers)
+    np.testing.assert_allclose(back[0].positions, frame.positions, atol=1e-7)
+    np.testing.assert_allclose(back[0].cell, frame.cell, atol=1e-9)
+    np.testing.assert_allclose(back[0].energy, frame.energy)
+    np.testing.assert_allclose(back[0].forces, frame.forces, atol=1e-7)
+
+
+def _write_raw_xyz(root, n_frames=4):
+    os.makedirs(os.path.join(root, 'raw'), exist_ok=True)
+    rs = np.random.RandomState(1)
+    frames = [Frame(numbers=[6, 1, 1, 1], positions=rs.randn(4, 3),
+                    energy=float(i), forces=rs.randn(4, 3))
+              for i in range(n_frames)]
+    write_extxyz(os.path.join(root, 'raw', 'data.xyz'), frames)
+
+
+def test_in_memory_vs_on_disk_datasets(tmp_path):
+    root1, root2 = os.path.join(tmp_path, 'a'), os.path.join(tmp_path, 'b')
+    _write_raw_xyz(root1)
+    _write_raw_xyz(root2)
+    d1 = MolecularInMemoryDataset(root=root1)
+    d2 = MolecularDataset(root=root2)
+    assert len(d1) == len(d2) == 4
+    for i in range(4):
+        np.testing.assert_array_equal(d1[i]['z'], d2[i]['z'])
+        np.testing.assert_allclose(d1[i]['pos'], d2[i]['pos'], atol=1e-6)
+        np.testing.assert_allclose(d1[i]['energy'], d2[i]['energy'])
+
+
+def test_npz_parsing(tmp_path):
+    '''The reference's parse_npz is dead code raising NotImplementedError
+    (loader.py:131-132); ours implements the documented Z/R/L/E/F schema.'''
+    root = os.path.join(tmp_path, 'npz')
+    os.makedirs(os.path.join(root, 'raw'))
+    rs = np.random.RandomState(2)
+    np.savez(os.path.join(root, 'raw', 'd.npz'),
+             Z=np.array([8, 1, 1]), R=rs.randn(5, 3, 3),
+             E=rs.randn(5), F=rs.randn(5, 3, 3),
+             L=np.array([10., 10., 10.]))
+    ds = MolecularInMemoryDataset(root=root)
+    assert len(ds) == 5
+    s = ds[0]
+    np.testing.assert_array_equal(s['z'], [8, 1, 1])
+    np.testing.assert_array_equal(np.diag(s['cell']), [10., 10., 10.])
+
+
+def test_unit_conversion(tmp_path):
+    root = os.path.join(tmp_path, 'u')
+    _write_raw_xyz(root)
+    ev = MolecularInMemoryDataset(root=root)
+    root2 = os.path.join(tmp_path, 'u2')
+    _write_raw_xyz(root2)
+    kcal = MolecularInMemoryDataset(root=root2, data_energy_unit='kcal/mol')
+    ratio = kcal[1]['energy'] / ev[1]['energy']
+    np.testing.assert_allclose(ratio, get_unit('kcal/mol'), rtol=1e-5)
+
+
+def test_padded_loader_covers_everything(tmp_path):
+    root = os.path.join(tmp_path, 'c')
+    _write_raw_xyz(root, n_frames=10)
+    ds = MolecularInMemoryDataset(root=root)
+    loader = PaddedLoader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    total = sum(int(b['graph_mask'].sum()) for b in batches)
+    assert total == 10
+    for b in batches:
+        assert b['z'].shape == (4, 8)  # padded to multiple of 8
+        # energies seen across epochs differ in order (shuffling)
+    e1 = np.concatenate([b['energy'][b['graph_mask']] for b in loader])
+    e2 = np.concatenate([b['energy'][b['graph_mask']] for b in loader])
+    assert not np.array_equal(e1, e2)
+    assert sorted(e1) == sorted(e2)
+
+
+def test_statistics_lstsq():
+    '''Per-element shifts recovered exactly from a linear-in-composition
+    energy model (the reference's lstsq construction, loader.py:210-219).'''
+    rs = np.random.RandomState(3)
+    shifts = {1: -13.6, 6: -1029.0, 8: -2041.0}
+    samples = []
+    for _ in range(20):
+        z = rs.choice([1, 6, 8], size=rs.randint(3, 8)).astype(np.int32)
+        e = sum(shifts[int(x)] for x in z)
+        samples.append({'z': z, 'energy': e,
+                        'force': rs.randn(len(z), 3)})
+    stats = compute_statistics(samples)
+    for el, val in shifts.items():
+        np.testing.assert_allclose(stats['energy']['shift'][el], val,
+                                   rtol=1e-9)
+    assert stats['energy']['scale'][1] < 1e-6  # perfect fit -> ~zero residual
+    assert 'force' in stats
