@@ -29,7 +29,16 @@ class Sample(dict):
 
 
 def parse_xyz(raw_path, units, pre_transform=None, pre_filter=None):
-    '''Read one (ext)xyz file into a list of Samples (ref loader.py:167-194).'''
+    '''Read one (ext)xyz file into a list of Samples (ref loader.py:167-194).
+
+    Uses the native C++ parser (newtonnet_tpu/native) when built -- the
+    production ingestion path for large datasets -- and falls back to the
+    pure-Python reader otherwise; both produce identical Samples
+    (tests/test_native.py).
+    '''
+    from newtonnet_tpu import native
+    if native.available():
+        return _parse_xyz_native(raw_path, units, pre_transform, pre_filter)
     samples = []
     for frame in read_extxyz(raw_path):
         cell = frame.cell.copy()
@@ -42,6 +51,37 @@ def parse_xyz(raw_path, units, pre_transform=None, pre_filter=None):
             if frame.energy is not None else None,
             force=frame.forces * units['energy'] / units['length']
             if frame.forces is not None else None,
+        )
+        if pre_filter is not None and not pre_filter(sample):
+            continue
+        if pre_transform is not None:
+            sample = pre_transform(sample)
+        samples.append(sample)
+    return samples
+
+
+def _parse_xyz_native(raw_path, units, pre_transform=None, pre_filter=None):
+    from newtonnet_tpu import native
+    data = native.parse_extxyz(raw_path)
+    samples = []
+    for i in range(len(data['ptr']) - 1):
+        lo, hi = data['ptr'][i], data['ptr'][i + 1]
+        cell = data['cell'][i].copy()
+        pbc = data['pbc'][i]
+        cell[~pbc] = 0.0
+        pos = data['pos'][lo:hi]
+        if pbc.any() and cell.any():
+            frac = pos @ np.linalg.inv(cell)
+            frac = np.where(pbc[None, :], frac % 1.0, frac)
+            pos = frac @ cell
+        sample = Sample(
+            z=data['z'][lo:hi],
+            pos=pos * units['length'],
+            cell=cell * units['length'],
+            energy=np.float64(data['energy'][i]) * units['energy']
+            if data['energy'] is not None else None,
+            force=data['forces'][lo:hi] * units['energy'] / units['length']
+            if data['forces'] is not None else None,
         )
         if pre_filter is not None and not pre_filter(sample):
             continue

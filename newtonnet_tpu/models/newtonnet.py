@@ -33,7 +33,11 @@ from newtonnet_tpu.layers.representations import (
     scaled_norm,
 )
 from newtonnet_tpu.ops.neighbors import dense_graph, dense_graph_sharded
-from newtonnet_tpu.ops.nlist import gather_nodes, neighbor_list
+from newtonnet_tpu.ops.nlist import (
+    gather_nodes,
+    neighbor_list,
+    recompute_displacements,
+)
 
 
 class DenseEdges(NamedTuple):
@@ -256,12 +260,17 @@ class NewtonNetCore(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z, pos, cell):
+    def __call__(self, z, pos, cell, nlist=None):
         '''
         Args:
             z: (B, N) atomic numbers, 0 = padding.
             pos: (B, N, 3) (possibly strain-displaced) positions.
             cell: (B, 3, 3) (possibly strain-displaced) lattice rows.
+            nlist: optional (idx (B, N, K), mask (B, N, K)) precomputed
+                neighbor indices (e.g. from the native cell-list search,
+                newtonnet_tpu/native); displacements are recomputed from
+                pos in-jit so derivatives stay exact. Requires
+                graph_mode='neighborlist'.
 
         Returns:
             dict with atom_node (B,N,F), force_node (B,N,3,F) and, per
@@ -294,9 +303,19 @@ class NewtonNetCore(nn.Module):
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
         elif self.graph_mode == 'neighborlist':
-            idx, kmask, disp, _ = neighbor_list(
-                pos, cell, atom_mask, self.cutoff, self.k_max,
-                mic_mode=self.mic_mode)
+            if nlist is not None:
+                idx, kmask = nlist
+                disp = recompute_displacements(pos, cell, idx,
+                                               mic_mode=self.mic_mode)
+                # hard-mask any stale pair beyond the cutoff (atoms may have
+                # moved since the host built the list; a skin margin on the
+                # host side keeps this conservative)
+                d2 = jnp.sum(disp * disp, axis=-1)
+                kmask = kmask & (d2 < self.cutoff * self.cutoff)
+            else:
+                idx, kmask, disp, _ = neighbor_list(
+                    pos, cell, atom_mask, self.cutoff, self.k_max,
+                    mic_mode=self.mic_mode)
             dist, dir_edge = scaled_norm(disp, self.cutoff)
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf)

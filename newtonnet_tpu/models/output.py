@@ -119,7 +119,8 @@ class NewtonNet:
         }
 
     # ------------------------------------------------------------------ #
-    def _energy_and_aux(self, params, z, pos, displacement, cell):
+    def _energy_and_aux(self, params, z, pos, displacement, cell,
+                        nlist=None):
         '''Total (summed over graphs) energy and auxiliary outputs.
 
         The strain trick (ref newtonnet.py:146-155): `displacement` is an
@@ -130,7 +131,7 @@ class NewtonNet:
         sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
         pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
         cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
-        out = self.core.apply(params, z, pos_d, cell_d)
+        out = self.core.apply(params, z, pos_d, cell_d, nlist=nlist)
 
         atom_mask = z > 0
         if 'energy' in self._needs:
@@ -149,7 +150,7 @@ class NewtonNet:
         return jnp.broadcast_to(jnp.eye(3, dtype=cell.dtype), (b, 3, 3))
 
     # ------------------------------------------------------------------ #
-    def apply(self, params, z, pos, cell):
+    def apply(self, params, z, pos, cell, nlist=None):
         '''Full forward pass.
 
         Args:
@@ -157,6 +158,8 @@ class NewtonNet:
             z: (B, N) int atomic numbers, 0 = padding.
             pos: (B, N, 3) positions.
             cell: (B, 3, 3) lattice rows (all-zero = aperiodic).
+            nlist: optional precomputed (idx, mask) neighbor lists
+                (graph_mode='neighborlist' only; see NewtonNetCore).
 
         Returns:
             dict of outputs; always contains the configured
@@ -174,9 +177,10 @@ class NewtonNet:
             grad_fn = jax.grad(self._energy_and_aux, argnums=(2, 3),
                                has_aux=True)
             (pos_grad, disp_grad), out = grad_fn(
-                params, z, pos, displacement, cell)
+                params, z, pos, displacement, cell, nlist)
         else:
-            _, out = self._energy_and_aux(params, z, pos, displacement, cell)
+            _, out = self._energy_and_aux(params, z, pos, displacement, cell,
+                                          nlist)
 
         outputs = dict(out)
         if 'gradient_force' in needs:

@@ -1,0 +1,137 @@
+'''ctypes bindings for the native (C++) components in native/.
+
+  * fast extxyz parsing (extxyz.cpp) -- production dataset ingestion;
+  * cell-list neighbor search (celllist.cpp) -- O(N) host-side neighbor
+    lists for very large systems.
+
+Everything degrades gracefully: if the shared library has not been built
+(`make -C native`), `available()` is False and callers fall back to the
+pure-Python implementations. `ensure_built()` attempts an on-demand build
+with the local toolchain.
+'''
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    'native')
+_LIB_PATH = os.path.join(_NATIVE_DIR, 'libnewtonnet_native.so')
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.xyz_parse.restype = ctypes.c_void_p
+    lib.xyz_parse.argtypes = [ctypes.c_char_p]
+    lib.xyz_error.restype = ctypes.c_char_p
+    lib.xyz_error.argtypes = [ctypes.c_void_p]
+    for fn in ('xyz_n_frames', 'xyz_total_atoms'):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    for fn in ('xyz_has_energy', 'xyz_has_forces'):
+        getattr(lib, fn).restype = ctypes.c_uint8
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.xyz_fill.restype = None
+    lib.xyz_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 7
+    lib.xyz_free.restype = None
+    lib.xyz_free.argtypes = [ctypes.c_void_p]
+    lib.cell_list_neighbors.restype = ctypes.c_int64
+    lib.cell_list_neighbors.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_double,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available():
+    return _load() is not None
+
+
+def ensure_built(quiet=True):
+    '''Build the shared library with `make -C native` if missing.'''
+    if available():
+        return True
+    try:
+        subprocess.run(['make', '-C', _NATIVE_DIR],
+                       capture_output=quiet, check=True)
+    except (OSError, subprocess.CalledProcessError):
+        return False
+    return available()
+
+
+def parse_extxyz(path):
+    '''Parse an extxyz file natively.
+
+    Returns dict: ptr (n_frames+1,), z (atoms,), pos (atoms, 3),
+    forces (atoms, 3) | None, cell (n_frames, 3, 3), energy (n_frames,) |
+    None, pbc (n_frames, 3) bool.
+    '''
+    lib = _load()
+    if lib is None:
+        raise RuntimeError('native library not built (run make -C native)')
+    h = lib.xyz_parse(path.encode())
+    try:
+        err = lib.xyz_error(h)
+        if err:
+            raise ValueError(f'{path}: {err.decode()}')
+        n_frames = lib.xyz_n_frames(h)
+        atoms = lib.xyz_total_atoms(h)
+        z = np.empty(atoms, np.int32)
+        pos = np.empty((atoms, 3), np.float64)
+        forces = np.empty((atoms, 3), np.float64)
+        cell = np.empty((n_frames, 3, 3), np.float64)
+        energy = np.empty(n_frames, np.float64)
+        pbc = np.empty((n_frames, 3), np.uint8)
+        ptr = np.empty(n_frames + 1, np.int64)
+        lib.xyz_fill(h, *(a.ctypes.data_as(ctypes.c_void_p)
+                          for a in (z, pos, forces, cell, energy, pbc, ptr)))
+        return {
+            'ptr': ptr, 'z': z, 'pos': pos,
+            'forces': forces if lib.xyz_has_forces(h) else None,
+            'cell': cell,
+            'energy': energy if lib.xyz_has_energy(h) else None,
+            'pbc': pbc.astype(bool),
+        }
+    finally:
+        lib.xyz_free(h)
+
+
+def cell_list_neighbors(pos, cell, cutoff, k_max):
+    '''Native padded neighbor list for one system.
+
+    Args:
+        pos: (n, 3) float64 positions (wrapped into the cell if periodic).
+        cell: (3, 3) lattice rows or None/zeros for aperiodic.
+        cutoff: radius; k_max: neighbor capacity.
+
+    Returns:
+        idx (n, k_max) int32, count (n,) int32, overflow (int).
+    '''
+    lib = _load()
+    if lib is None:
+        raise RuntimeError('native library not built (run make -C native)')
+    pos = np.ascontiguousarray(pos, np.float64)
+    n = pos.shape[0]
+    cell_arr = (np.zeros((3, 3)) if cell is None
+                else np.ascontiguousarray(cell, np.float64))
+    if cell_arr.any():
+        # wrap into the cell so bins and raw distances are consistent
+        frac = pos @ np.linalg.inv(cell_arr)
+        pos = np.ascontiguousarray((frac - np.floor(frac)) @ cell_arr)
+    idx = np.zeros((n, k_max), np.int32)
+    count = np.zeros(n, np.int32)
+    overflow = lib.cell_list_neighbors(
+        pos.ctypes.data_as(ctypes.c_void_p), n,
+        cell_arr.ctypes.data_as(ctypes.c_void_p),
+        float(cutoff), int(k_max),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        count.ctypes.data_as(ctypes.c_void_p))
+    return idx, count, int(overflow)

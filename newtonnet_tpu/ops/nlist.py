@@ -89,6 +89,21 @@ def _mic_edges(disp, cell, is_periodic, mic_mode):
     return out.reshape(B, N, K, 3)
 
 
+def recompute_displacements(pos, cell, idx, mic_mode='exact'):
+    '''disp_i - disp_j for a precomputed index list, minimum-imaged.
+
+    Used with host-built (native cell-list) neighbor lists: the integer
+    indices are non-differentiable, but recomputing displacements from pos
+    inside jit keeps forces/stress exact.
+    '''
+    B, N, K = idx.shape
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    pos_j = jnp.take_along_axis(
+        pos, idx.reshape(B, N * K, 1), axis=1).reshape(B, N, K, 3)
+    disp = pos[:, :, None, :] - pos_j
+    return _mic_edges(disp, cell, is_periodic, mic_mode)
+
+
 def gather_nodes(x, idx):
     '''Gather per-atom features at neighbor indices.
 
