@@ -1,4 +1,5 @@
 from newtonnet_tpu.data.loader import (
+    BucketedLoader,
     MolecularDataset,
     MolecularInMemoryDataset,
     PaddedLoader,

@@ -353,6 +353,57 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
     return batch
 
 
+class BucketedLoader:
+    '''Size-bucketed padded batch iterator for heterogeneous datasets.
+
+    With molecules of very different sizes (e.g. an MD17 multi-molecule
+    sweep or ANI-style data), one global n_pad makes small molecules pay the
+    largest molecule's O(N^2) cost. Frames are instead grouped into buckets
+    by their atom count rounded up to a multiple of `bucket_multiple`; each
+    bucket yields batches padded to its own size, so XLA compiles once per
+    bucket and padding waste stays bounded by the multiple.
+
+    Batches carry the same keys as PaddedLoader plus static per-batch
+    shapes; iteration order interleaves buckets deterministically per epoch.
+    '''
+
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0,
+                 bucket_multiple=8):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.bucket_multiple = bucket_multiple
+        self._rng = np.random.default_rng(seed)
+        self.dtype = np.dtype(getattr(dataset, 'precision', np.float32))
+        sizes = np.array([len(dataset[i]['z']) for i in range(len(dataset))])
+        self._bucket_of = np.maximum(
+            bucket_multiple,
+            _round_up(sizes, bucket_multiple))
+        self.buckets = sorted(set(self._bucket_of.tolist()))
+
+    def __len__(self):
+        n = 0
+        for b in self.buckets:
+            count = int(np.sum(self._bucket_of == b))
+            n += (count + self.batch_size - 1) // self.batch_size
+        return n
+
+    def __iter__(self):
+        batches = []
+        for b in self.buckets:
+            idxs = np.nonzero(self._bucket_of == b)[0]
+            if self.shuffle:
+                idxs = idxs[self._rng.permutation(len(idxs))]
+            for start in range(0, len(idxs), self.batch_size):
+                batches.append((b, idxs[start:start + self.batch_size]))
+        if self.shuffle:
+            order = self._rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        for n_pad, idxs in batches:
+            samples = [self.dataset[i] for i in idxs]
+            yield collate(samples, n_pad, self.batch_size, dtype=self.dtype)
+
+
 class PaddedLoader:
     '''Static-shape batch iterator (the PyG DataLoader replacement).
 

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from newtonnet_tpu.data import (
+from newtonnet_tpu.data import (  # noqa
     MolecularDataset,
     MolecularInMemoryDataset,
     PaddedLoader,
@@ -142,3 +142,32 @@ def test_statistics_lstsq():
                                    rtol=1e-9)
     assert stats['energy']['scale'][1] < 1e-6  # perfect fit -> ~zero residual
     assert 'force' in stats
+
+
+def test_bucketed_loader(tmp_path):
+    from newtonnet_tpu.data.loader import BucketedLoader
+    root = os.path.join(tmp_path, 'het')
+    os.makedirs(os.path.join(root, 'raw'))
+    rs = np.random.RandomState(5)
+    frames = []
+    for i in range(12):
+        n = [4, 9, 21][i % 3]
+        frames.append(Frame(numbers=rs.choice([1, 6], n),
+                            positions=rs.randn(n, 3), energy=float(i),
+                            forces=rs.randn(n, 3)))
+    write_extxyz(os.path.join(root, 'raw', 'h.xyz'), frames)
+    ds = MolecularInMemoryDataset(root=root)
+    loader = BucketedLoader(ds, batch_size=4, shuffle=True, seed=0)
+    assert loader.buckets == [8, 16, 24]
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    shapes = sorted(b['z'].shape[1] for b in batches)
+    assert shapes == [8, 16, 24]
+    # every real frame appears exactly once
+    energies = sorted(float(e) for b in batches
+                      for e in b['energy'][b['graph_mask']])
+    assert energies == [float(i) for i in range(12)]
+    # padding waste bounded: bucket of n=4 frames is 8 wide, not 24
+    for b in batches:
+        n_real_max = int((b['z'] > 0).sum(axis=1).max())
+        assert b['z'].shape[1] - n_real_max < 8
