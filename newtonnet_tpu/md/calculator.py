@@ -43,7 +43,8 @@ class NewtonNetCalculator:
     '''
 
     def __init__(self, model_path=None, properties=None, precision='float32',
-                 model=None, params=None):
+                 model=None, params=None, matmul_precision='highest'):
+        self.matmul_precision = matmul_precision
         if model_path is not None:
             if str(model_path).endswith('.pt'):
                 # reference torch checkpoint
@@ -92,7 +93,12 @@ class NewtonNetCalculator:
     # ------------------------------------------------------------------ #
     def _fn(self, n_pad):
         if n_pad not in self._compiled:
-            self._compiled[n_pad] = jax.jit(self.model.apply)
+            # full-fp32 matmul passes by default: MD force consistency
+            # (bf16 round-off heats the thermostat, see md/driver.py)
+            def apply(params, z, pos, cell):
+                with jax.default_matmul_precision(self.matmul_precision):
+                    return self.model.apply(params, z, pos, cell)
+            self._compiled[n_pad] = jax.jit(apply)
         return self._compiled[n_pad]
 
     def calculate(self, system=None, numbers=None, positions=None, cell=None):

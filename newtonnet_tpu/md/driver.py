@@ -75,20 +75,25 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
 
 def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                            friction, n_steps, log_every=100, seed=0,
-                           dtype=np.float32):
+                           dtype=np.float32, matmul_precision='highest'):
     '''Run Langevin MD fully on device.
+
+    matmul_precision defaults to 'highest' (full-fp32 MXU passes): with the
+    TPU default (bf16 passes), force round-off acts as white-noise heating
+    and biases the thermostat temperature upward by >100 K.
 
     Returns (system, log): the input System updated in place to the final
     state, and a dict with strided 'epot', 'ekin', 'temperature' arrays.
     '''
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell, n = _pad_system(system, dtype)
-    pos_f, mom_f, epots, ekins = _run_langevin(
-        model, params, jnp.asarray(z), jnp.asarray(pos), jnp.asarray(mom),
-        jnp.asarray(masses), jnp.asarray(cell),
-        dt=float(timestep), temp=float(kB * temperature_K),
-        friction=float(friction), n_steps=int(n_steps),
-        log_every=int(log_every), key=jax.random.PRNGKey(seed))
+    with jax.default_matmul_precision(matmul_precision):
+        pos_f, mom_f, epots, ekins = _run_langevin(
+            model, params, jnp.asarray(z), jnp.asarray(pos),
+            jnp.asarray(mom), jnp.asarray(masses), jnp.asarray(cell),
+            dt=float(timestep), temp=float(kB * temperature_K),
+            friction=float(friction), n_steps=int(n_steps),
+            log_every=int(log_every), key=jax.random.PRNGKey(seed))
     system.positions = np.asarray(pos_f)[:n].astype(np.float64)
     system.momenta = np.asarray(mom_f)[:n].astype(np.float64)
     dof = 3 * n
