@@ -34,6 +34,8 @@ from newtonnet_tpu.layers.representations import (
 )
 from newtonnet_tpu.ops.neighbors import dense_graph, dense_graph_sharded
 from newtonnet_tpu.ops.nlist import (
+    build_reverse_list,
+    edge_gather,
     gather_nodes,
     neighbor_list,
     recompute_displacements,
@@ -48,11 +50,17 @@ class DenseEdges(NamedTuple):
 
 
 class NeighborEdges(NamedTuple):
-    '''Padded neighbor-list graph: j-axis is the K neighbor slots.'''
+    '''Padded neighbor-list graph: j-axis is the K neighbor slots.
+
+    rev/rev_mask are the reverse (transpose) lists from build_reverse_list;
+    they make every backward pass gather-only (no TPU scatters).
+    '''
     idx: jnp.ndarray   # (B, N, K) int32
     mask: jnp.ndarray  # (B, N, K) bool
     dir: jnp.ndarray   # (B, N, K, 3)
     rbf: jnp.ndarray   # (B, N, K, n_basis)
+    rev: jnp.ndarray   # (B, N, K) int32
+    rev_mask: jnp.ndarray  # (B, N, K) bool
 
 
 def _torch_uniform_init(bound):
@@ -117,6 +125,7 @@ class InteractionNet(nn.Module):
     activation: Callable
     layer_norm: bool = False
     shard_axis: str = ''  # mesh axis name for atom-sharded (graph-parallel)
+    reverse_lists: bool = False  # gather-only backward via transpose lists
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -157,8 +166,21 @@ class InteractionNet(nn.Module):
         message_edgepart = TorchLinear(f, use_bias=False,
                                        param_dtype=self.param_dtype,
                                        name='message_edgepart')(edges.rbf)
+        # neighborlist gathers: either plain XLA gathers (backward =
+        # scatter-add) or, with reverse_lists, transpose-list gathers whose
+        # every derivative order is also a gather (ops/nlist.edge_gather).
+        # Measured on TPU v5e the plain path is currently faster; the
+        # reverse-list path exists for scatter-hostile configurations.
+        if dense:
+            gather_j = None
+        elif self.reverse_lists:
+            def gather_j(x):
+                return edge_gather(x, edges.idx, edges.rev, edges.rev_mask)
+        else:
+            def gather_j(x):
+                return gather_nodes(x, edges.idx)
         nodepart_j = (gather_cols(message_nodepart)[:, None, :, :] if dense
-                      else gather_nodes(message_nodepart, edges.idx))
+                      else gather_j(message_nodepart))
         message = (message_edgepart
                    * message_nodepart[:, :, None, :]
                    * nodepart_j) * w  # (B, N, J, F); J = N or K
@@ -180,7 +202,7 @@ class InteractionNet(nn.Module):
             equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2,
                                 gather_cols(force_node))
         else:
-            force_j = gather_nodes(force_node, edges.idx)  # (B, N, K, 3, F)
+            force_j = gather_j(force_node)  # (B, N, K, 3, F)
             equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
 
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
@@ -257,6 +279,7 @@ class NewtonNetCore(nn.Module):
     graph_mode: str = 'dense'  # 'dense' (molecules) | 'neighborlist' (large)
     k_max: int = 48            # neighbor capacity in neighborlist mode
     shard_axis: str = ''       # mesh axis for atom-sharded graph parallelism
+    reverse_lists: bool = False  # scatter-free backward (see InteractionNet)
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -318,7 +341,12 @@ class NewtonNetCore(nn.Module):
                     mic_mode=self.mic_mode)
             dist, dir_edge = scaled_norm(disp, self.cutoff)
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
-            edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf)
+            if self.reverse_lists:
+                rev, rev_mask = build_reverse_list(idx, kmask)
+            else:
+                rev, rev_mask = idx, kmask  # unused placeholders
+            edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,
+                                  rev=rev, rev_mask=rev_mask)
         else:
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
@@ -327,6 +355,7 @@ class NewtonNetCore(nn.Module):
             atom_node, force_node = InteractionNet(
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, shard_axis=self.shard_axis,
+                reverse_lists=self.reverse_lists,
                 param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
 

@@ -60,6 +60,7 @@ class NewtonNet:
             mic_mode: str = 'exact',
             graph_mode: str = 'dense',
             k_max: int = 48,
+            reverse_lists: bool = False,
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             param_dtype=jnp.float32,
@@ -78,6 +79,7 @@ class NewtonNet:
         self.mic_mode = mic_mode
         self.graph_mode = graph_mode
         self.k_max = k_max
+        self.reverse_lists = reverse_lists
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.param_dtype = param_dtype
@@ -95,7 +97,7 @@ class NewtonNet:
             n_interactions=n_interactions, activation=activation,
             layer_norm=layer_norm, output_properties=core_props,
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
-            param_dtype=param_dtype)
+            reverse_lists=reverse_lists, param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -114,8 +116,8 @@ class NewtonNet:
             'activation': self.activation, 'layer_norm': self.layer_norm,
             'output_properties': list(self.output_properties),
             'mic_mode': self.mic_mode, 'graph_mode': self.graph_mode,
-            'k_max': self.k_max, 'ewald_sigma': self.ewald_sigma,
-            'ewald_n_k': self.ewald_n_k,
+            'k_max': self.k_max, 'reverse_lists': self.reverse_lists,
+            'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
         }
 
     # ------------------------------------------------------------------ #

@@ -104,6 +104,93 @@ def recompute_displacements(pos, cell, idx, mic_mode='exact'):
     return _mic_edges(disp, cell, is_periodic, mic_mode)
 
 
+def build_reverse_list(idx, kmask):
+    '''Reverse (transpose) neighbor list for symmetric radius graphs.
+
+    rev[b, n, k] = the slot r such that idx[b, idx[b, n, k], r] == n, i.e.
+    where atom n appears in its neighbor's own list. Radius graphs are
+    symmetric (|d| is), so r exists for every valid (n, k) unless k_max
+    overflow dropped the reciprocal edge; such one-sided edges are masked
+    out of `rev_mask` (and the overflow counter from neighbor_list already
+    flags the condition).
+
+    The reverse list turns every scatter-add in the message-passing
+    backward pass into a gather (see edge_gather): grad_x[j] =
+    sum_k cot[idx[j,k], rev[j,k]]. TPU scatters serialize; gathers don't.
+
+    Returns:
+        rev (B, N, K) int32, rev_mask (B, N, K) bool.
+    '''
+    B, N, K = idx.shape
+    neighbor_rows = gather_nodes(idx, idx)       # [b,n,k,r] = idx[b, j, r]
+    neighbor_valid = gather_nodes(kmask, idx)    # [b,n,k,r] = kmask[b, j, r]
+    me = jnp.arange(N, dtype=idx.dtype)[None, :, None, None]
+    eq = (neighbor_rows == me) & neighbor_valid
+    rev = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    rev_mask = jnp.any(eq, axis=-1) & kmask
+    return rev, rev_mask
+
+
+@jax.custom_vjp
+def edge_pull(y, idx, rev, rev_mask):
+    '''Transpose-permute per-edge values: out[n, k] = y[idx[n,k], rev[n,k]].
+
+    The mapping (n, k) -> (idx[n,k], rev[n,k]) is an involution on valid
+    edge slots of a symmetric graph (applying it twice is the identity), so
+    the linear map is its own transpose: the VJP of edge_pull is edge_pull.
+    Every derivative order therefore lowers to gathers -- never a TPU
+    scatter.
+    '''
+    B, N, K = idx.shape
+    flat_index = (idx * K + rev).reshape(B, N * K, 1)
+    y_flat = y.reshape(B, N * K, -1)
+    out = jnp.take_along_axis(y_flat, flat_index, axis=1)
+    out = out.reshape(y.shape)
+    mask = rev_mask.reshape(rev_mask.shape + (1,) * (y.ndim - 3))
+    return jnp.where(mask, out, 0)
+
+
+def _edge_pull_fwd(y, idx, rev, rev_mask):
+    return edge_pull(y, idx, rev, rev_mask), (idx, rev, rev_mask)
+
+
+def _edge_pull_bwd(res, cot):
+    idx, rev, rev_mask = res
+    return edge_pull(cot, idx, rev, rev_mask), None, None, None
+
+
+edge_pull.defvjp(_edge_pull_fwd, _edge_pull_bwd)
+
+
+@jax.custom_vjp
+def edge_gather(x, idx, rev, rev_mask):
+    '''x[idx] with a gather-only backward (see build_reverse_list).
+
+    Args:
+        x: (B, N, ...) per-atom features.
+        idx, rev, rev_mask: (B, N, K) neighbor/reverse lists.
+
+    Returns:
+        (B, N, K, ...) gathered neighbor features.
+    '''
+    return gather_nodes(x, idx)
+
+
+def _edge_gather_fwd(x, idx, rev, rev_mask):
+    return gather_nodes(x, idx), (idx, rev, rev_mask)
+
+
+def _edge_gather_bwd(res, cot):
+    idx, rev, rev_mask = res
+    # grad_x[b, j] = sum_k cot[b, idx[b,j,k], rev[b,j,k]] -- a pull + sum,
+    # both gather-only and themselves differentiable to any order.
+    pulled = edge_pull(cot, idx, rev, rev_mask)
+    return jnp.sum(pulled, axis=2), None, None, None
+
+
+edge_gather.defvjp(_edge_gather_fwd, _edge_gather_bwd)
+
+
 def gather_nodes(x, idx):
     '''Gather per-atom features at neighbor indices.
 

@@ -58,15 +58,18 @@ def test_neighbor_list_overflow_reported():
     assert int(overflow.sum()) > 0
 
 
+@pytest.mark.parametrize('reverse_lists', [False, True])
 @pytest.mark.parametrize('periodic', [False, True])
-def test_model_dense_vs_neighborlist(rng, periodic):
-    '''Same params, both graph modes -> identical energies and forces.'''
+def test_model_dense_vs_neighborlist(rng, periodic, reverse_lists):
+    '''Same params, both graph modes -> identical energies and forces
+    (with either the plain-gather or the reverse-list backward).'''
     z, pos, cell = _random_system(2, 2, 10, periodic)
     common = dict(n_features=16, n_basis=8, n_interactions=2,
                   output_properties=['energy', 'gradient_force'],
                   param_dtype=F64)
     dense_model = NewtonNet(graph_mode='dense', **common)
-    nl_model = NewtonNet(graph_mode='neighborlist', k_max=9, **common)
+    nl_model = NewtonNet(graph_mode='neighborlist', k_max=9,
+                         reverse_lists=reverse_lists, **common)
     params = dense_model.init(rng, z, pos, cell)
     out_d = dense_model.apply(params, z, pos, cell)
     out_n = nl_model.apply(params, z, pos, cell)  # identical param layout
