@@ -82,14 +82,17 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # compile + warmup
+    # compile + warmup. The float() fetch also switches the axon-tunneled
+    # TPU stream into honest execution: before the first device->host fetch
+    # in a process, block_until_ready does not actually block (see
+    # PERF_NOTES.md), so timing without it reports fictional numbers.
     params, opt_state, loss = train_step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
         params, opt_state, loss = train_step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    _ = float(loss)
     dt = (time.perf_counter() - t0) / N_STEPS
 
     edges_per_s = n_edges / dt

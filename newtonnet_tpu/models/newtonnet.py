@@ -188,22 +188,42 @@ class InteractionNet(nn.Module):
         # invariant update: sum over neighbors j  (ref scatter at :214)
         atom_node = atom_node + jnp.sum(message, axis=2)
 
+        # The equivariant contractions sum over neighbors j with a 3-wide
+        # free axis; as einsum/dot_general XLA lowers them to thousands of
+        # tiny (J, F)x(J, 3) matmuls with terrible MXU utilization. The
+        # broadcast-multiply-then-sum form stays on the VPU and is several
+        # times faster (see tools/ablate_step.py); NEWTONNET_EINSUM_IMPL=dot
+        # restores the dot_general form for comparison.
+        import os as _os
+        use_dot = _os.environ.get('NEWTONNET_EINSUM_IMPL') == 'dot'
+
         # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
         phi1 = MLP([f, f], self.activation, use_bias=False,
                    param_dtype=self.param_dtype,
                    name='equiv_message1')(message) * w
-        equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, edges.dir)
+        if use_dot:
+            equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, edges.dir)
+        else:
+            equiv1 = jnp.sum(phi1[:, :, :, None, :]
+                             * edges.dir[..., None], axis=2)
 
         # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
         phi2 = MLP([f, f], self.activation, use_bias=False,
                    param_dtype=self.param_dtype,
                    name='equiv_message2')(message) * w
         if dense:
-            equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2,
-                                gather_cols(force_node))
+            force_all = gather_cols(force_node)
+            if use_dot:
+                equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_all)
+            else:
+                equiv2 = jnp.sum(phi2[:, :, :, None, :]
+                                 * force_all[:, None], axis=2)
         else:
             force_j = gather_j(force_node)  # (B, N, K, 3, F)
-            equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
+            if use_dot:
+                equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
+            else:
+                equiv2 = jnp.sum(phi2[:, :, :, None, :] * force_j, axis=2)
 
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
         force_node = force_node + equiv1 + equiv2

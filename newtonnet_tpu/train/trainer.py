@@ -93,6 +93,7 @@ class Trainer:
             clip_grad=0.0,
             log_wandb=False,
             mesh=None,
+            steps_per_call=8,
             ):
         self.model = model
         self.params = params
@@ -110,6 +111,10 @@ class Trainer:
         self.start_epoch = 0
         self.start_step = 0
         self.epochs = epochs
+        # batches executed per device dispatch (lax.scan over stacked
+        # batches): each dispatch costs a host round trip on tunneled
+        # backends, so chunking steps is a large wall-clock win
+        self.steps_per_call = max(1, steps_per_call)
         self.log_rows = []
         self.log_wandb = log_wandb
         self.mesh = mesh
@@ -127,6 +132,8 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._train_scan = self._build_scan(self._train_step_body, train=True)
+        self._eval_scan = self._build_scan(self._eval_step_body, train=False)
         self.print_layers()
 
     # ------------------------------------------------------------------ #
@@ -139,26 +146,51 @@ class Trainer:
         repl = NamedSharding(self.mesh, P())
         return batch_sh, repl
 
-    def _build_train_step(self):
-        model, main_loss, eval_loss, tx = (self.model, self.main_loss,
-                                           self.eval_loss, self.tx)
+    def _train_step_body(self, params, opt_state, totals, batch):
+        # `totals` accumulates per-epoch metric sums ON DEVICE -- the host
+        # only fetches once per epoch (a per-step device_get would force a
+        # sync round trip per step, which dominates on tunneled backends).
+        def loss_fn(p):
+            preds = self.model.apply(p, batch['z'], batch['pos'],
+                                     batch['cell'])
+            return self.main_loss(preds, batch), preds
+        (loss, preds), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = {'loss': loss, **self.eval_loss(preds, batch)}
+        totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
+        return params, opt_state, totals
 
-        def train_step(params, opt_state, totals, batch):
-            # `totals` accumulates per-epoch metric sums ON DEVICE -- the
-            # host only fetches once per epoch (a per-step device_get would
-            # force a sync round trip per step, which dominates on the
-            # tunneled TPU backend).
-            def loss_fn(p):
-                preds = model.apply(p, batch['z'], batch['pos'],
-                                    batch['cell'])
-                return main_loss(preds, batch), preds
-            (loss, preds), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            metrics = {'loss': loss, **eval_loss(preds, batch)}
-            totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
-            return params, opt_state, totals
+    def _eval_step_body(self, params, totals, batch):
+        preds = self.model.apply(params, batch['z'], batch['pos'],
+                                 batch['cell'])
+        metrics = {'loss': self.main_loss(preds, batch),
+                   **self.eval_loss(preds, batch)}
+        return jax.tree.map(lambda t, m: t + m, totals, metrics)
+
+    def _build_scan(self, body, train):
+        '''Jit a lax.scan running `steps_per_call` batches per dispatch.'''
+        if train:
+            def scan_fn(params, opt_state, totals, stacked):
+                def step(carry, batch):
+                    params, opt_state, totals = carry
+                    return self._train_step_body(params, opt_state, totals,
+                                                 batch), None
+                (params, opt_state, totals), _ = jax.lax.scan(
+                    step, (params, opt_state, totals), stacked)
+                return params, opt_state, totals
+            return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+
+        def scan_fn(params, totals, stacked):
+            def step(totals, batch):
+                return self._eval_step_body(params, totals, batch), None
+            totals, _ = jax.lax.scan(step, totals, stacked)
+            return totals
+        return jax.jit(scan_fn, donate_argnums=(1,))
+
+    def _build_train_step(self):
+        train_step = self._train_step_body
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None:
@@ -173,15 +205,7 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
-        model, main_loss, eval_loss = (self.model, self.main_loss,
-                                       self.eval_loss)
-
-        def eval_step(params, totals, batch):
-            preds = model.apply(params, batch['z'], batch['pos'],
-                                batch['cell'])
-            metrics = {'loss': main_loss(preds, batch),
-                       **eval_loss(preds, batch)}
-            return jax.tree.map(lambda t, m: t + m, totals, metrics)
+        eval_step = self._eval_step_body
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None:
@@ -371,17 +395,47 @@ class Trainer:
     def run_one_epoch(self, generator, step=False):
         '''One pass over a loader; average metrics per batch
         (ref trainer.py:299-318).'''
+        import numpy as np
+
         metric_names = ['loss'] + self._eval_metric_names()
         totals = {k: jax.numpy.zeros((), jax.numpy.float32)
                   for k in metric_names}
         n = 0
+        spc = self.steps_per_call if self.mesh is None else 1
+        pending = []
+
+        def flush_chunk():
+            nonlocal totals
+            stacked = {k: np.stack([b[k] for b in pending])
+                       for k in pending[0]}
+            if step:
+                self.params, self.opt_state, totals = self._train_scan(
+                    self.params, self.opt_state, totals, stacked)
+            else:
+                totals = self._eval_scan(self.params, totals, stacked)
+            pending.clear()
+
         for batch in generator:
+            n += 1
+            if spc > 1:
+                pending.append(batch)
+                if len(pending) == spc:
+                    flush_chunk()
+                continue
             if step:
                 self.params, self.opt_state, totals = self._train_step(
                     self.params, self.opt_state, totals, batch)
             else:
                 totals = self._eval_step(self.params, totals, batch)
-            n += 1
+        # remainder batches run through the single-step path (padding them
+        # into a scan chunk would take extra optimizer steps on zero grads)
+        for batch in pending:
+            if step:
+                self.params, self.opt_state, totals = self._train_step(
+                    self.params, self.opt_state, totals, batch)
+            else:
+                totals = self._eval_step(self.params, totals, batch)
+        pending.clear()
         totals = jax.device_get(totals)
         return {k: float(v) / max(n, 1) for k, v in totals.items()}
 
