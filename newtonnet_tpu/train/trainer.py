@@ -404,38 +404,46 @@ class Trainer:
         spc = self.steps_per_call if self.mesh is None else 1
         pending = []
 
-        def flush_chunk():
+        def run_single(batch):
             nonlocal totals
-            stacked = {k: np.stack([b[k] for b in pending])
-                       for k in pending[0]}
             if step:
-                self.params, self.opt_state, totals = self._train_scan(
-                    self.params, self.opt_state, totals, stacked)
+                self.params, self.opt_state, totals = self._train_step(
+                    self.params, self.opt_state, totals, batch)
             else:
-                totals = self._eval_scan(self.params, totals, stacked)
+                totals = self._eval_step(self.params, totals, batch)
+
+        def run_chunk():
+            # full chunks go through one scan dispatch; short chunks (tail,
+            # or a bucket-shape change) run per step -- padding them into a
+            # scan would take extra optimizer steps on zero grads, and
+            # variable chunk lengths would recompile
+            nonlocal totals
+            if len(pending) == spc:
+                stacked = {k: np.stack([b[k] for b in pending])
+                           for k in pending[0]}
+                if step:
+                    self.params, self.opt_state, totals = self._train_scan(
+                        self.params, self.opt_state, totals, stacked)
+                else:
+                    totals = self._eval_scan(self.params, totals, stacked)
+            else:
+                for b in pending:
+                    run_single(b)
             pending.clear()
 
         for batch in generator:
             n += 1
             if spc > 1:
+                # chunks must be shape-homogeneous (BucketedLoader emits
+                # different paddings): flush on shape change
+                if pending and batch['z'].shape != pending[0]['z'].shape:
+                    run_chunk()
                 pending.append(batch)
                 if len(pending) == spc:
-                    flush_chunk()
+                    run_chunk()
                 continue
-            if step:
-                self.params, self.opt_state, totals = self._train_step(
-                    self.params, self.opt_state, totals, batch)
-            else:
-                totals = self._eval_step(self.params, totals, batch)
-        # remainder batches run through the single-step path (padding them
-        # into a scan chunk would take extra optimizer steps on zero grads)
-        for batch in pending:
-            if step:
-                self.params, self.opt_state, totals = self._train_step(
-                    self.params, self.opt_state, totals, batch)
-            else:
-                totals = self._eval_step(self.params, totals, batch)
-        pending.clear()
+            run_single(batch)
+        run_chunk()
         totals = jax.device_get(totals)
         return {k: float(v) / max(n, 1) for k, v in totals.items()}
 
