@@ -1,0 +1,151 @@
+'''MD layer tests: System mechanics, thermostat statistics, NVE
+conservation, calculator result surface, and the on-device driver.'''
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonnet_tpu.data import units
+from newtonnet_tpu.md.calculator import NewtonNetCalculator
+from newtonnet_tpu.md.integrators import Langevin, VelocityVerlet
+from newtonnet_tpu.md.system import System, maxwell_boltzmann
+from newtonnet_tpu.models import NewtonNet
+
+
+class HarmonicCalculator:
+    '''E = 0.5 k sum |r - r0|^2 -- analytic test potential.'''
+
+    def __init__(self, r0, k=5.0):
+        self.r0 = np.asarray(r0)
+        self.k = k
+
+    def calculate(self, system):
+        d = system.positions - self.r0
+        return {'energy': 0.5 * self.k * float((d ** 2).sum()),
+                'forces': -self.k * d}
+
+
+def _h2o():
+    return System([8, 1, 1], [[0.0, 0.0, 0.0], [0.96, 0.0, 0.0],
+                              [-0.24, 0.93, 0.0]])
+
+
+def test_system_mechanics():
+    s = _h2o()
+    assert len(s) == 3
+    assert abs(s.masses[0] - 15.999) < 1e-3
+    s.set_velocities(np.ones((3, 3)) * 0.01)
+    assert s.kinetic_energy() > 0
+    np.testing.assert_allclose(s.get_velocities(), 0.01)
+
+
+def test_maxwell_boltzmann_temperature():
+    rs = np.random.default_rng(0)
+    temps = []
+    for seed in range(20):
+        s = System([6] * 50, np.zeros((50, 3)))
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(seed),
+                          zero_momentum=False)
+        temps.append(s.temperature())
+    assert abs(np.mean(temps) - 300.0) < 20.0
+
+
+def test_nve_energy_conservation():
+    s = _h2o()
+    s.calc = HarmonicCalculator(s.positions.copy(), k=2.0)
+    maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(1))
+    e0 = s.get_potential_energy() + s.kinetic_energy()
+    VelocityVerlet(s, timestep=0.25 * units.fs).run(400)
+    e1 = s.get_potential_energy() + s.kinetic_energy()
+    assert abs(e1 - e0) < 2e-3  # eV over 100 fs
+
+
+def test_langevin_equilibrium_temperature():
+    '''Harmonic bath: long Langevin run must equilibrate near the target
+    temperature (the exact-coefficient check vs ASE's algorithm).'''
+    n = 64
+    rs = np.random.default_rng(2)
+    s = System([6] * n, rs.standard_normal((n, 3)) * 0.1)
+    s.calc = HarmonicCalculator(s.positions.copy(), k=1.0)
+    dyn = Langevin(s, timestep=1.0 * units.fs, temperature_K=300,
+                   friction=1.0 / (20 * units.fs),
+                   rng=np.random.default_rng(3))
+    temps = []
+    dyn.run(200)  # equilibrate
+    for _ in range(40):
+        dyn.run(10)
+        temps.append(s.temperature())
+    assert abs(np.mean(temps) - 300.0) < 45.0, np.mean(temps)
+
+
+@pytest.fixture(scope='module')
+def tiny_calc(rng):
+    model = NewtonNet(n_features=16, n_basis=4, n_interactions=1,
+                      output_properties=['charge', 'energy',
+                                         'gradient_force', 'hessian',
+                                         'stress', 'bec'])
+    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(jnp.asarray([8, 1, 1]))
+    pos = jax.random.normal(rng, (1, 8, 3))
+    params = model.init(rng, z, pos, jnp.zeros((1, 3, 3)))
+    return NewtonNetCalculator(
+        model=model, params=params,
+        properties=['energy', 'free_energy', 'forces', 'stress', 'hessian',
+                    'charges', 'bec'])
+
+
+def test_calculator_result_surface(tiny_calc):
+    s = _h2o()
+    out = tiny_calc.calculate(s)
+    assert isinstance(out['energy'], float)
+    assert out['energy'] == out['free_energy']
+    assert out['forces'].shape == (3, 3)
+    assert out['stress'].shape == (6,)       # Voigt
+    assert out['hessian'].shape == (3, 3, 3, 3)
+    assert out['charges'].shape == (3,)
+    assert out['bec'].shape == (3, 3, 3)
+    assert np.isfinite(out['forces']).all()
+    # hessian symmetry
+    h = out['hessian'].reshape(9, 9)
+    np.testing.assert_allclose(h, h.T, atol=1e-4)
+
+
+def test_calculator_bucketing(tiny_calc):
+    '''Systems under the same bucket share one compilation.'''
+    out3 = tiny_calc.calculate(_h2o())
+    s5 = System([6, 1, 1, 1, 1], np.random.RandomState(0).randn(5, 3) * 2)
+    out5 = tiny_calc.calculate(s5)
+    assert out5['forces'].shape == (5, 3)
+    assert len(tiny_calc._compiled) == 1  # both pad to 8
+
+
+def test_calculator_refuses_untrained_heads(rng):
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    z = jnp.asarray([[8, 1, 1, 0]], jnp.int32)
+    params = model.init(rng, z, jax.random.normal(rng, (1, 4, 3)),
+                        jnp.zeros((1, 3, 3)))
+    with pytest.raises(ValueError, match='untrained'):
+        NewtonNetCalculator(model=model, params=params,
+                            properties=['charges'])
+    # derivative extensions of trained heads are allowed
+    calc = NewtonNetCalculator(model=model, params=params,
+                               properties=['energy', 'forces'])
+    out = calc.calculate(_h2o())
+    assert np.isfinite(out['forces']).all()
+
+
+def test_on_device_driver_matches_host_energy(rng):
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    model = NewtonNet(n_features=16, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    s = _h2o()
+    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(jnp.asarray(s.numbers))
+    pos = jnp.zeros((1, 8, 3)).at[0, :3].set(jnp.asarray(s.positions))
+    params = model.init(rng, z, pos, jnp.zeros((1, 3, 3)))
+    maxwell_boltzmann(s, 300, rng=np.random.default_rng(0))
+    s2, log = run_langevin_on_device(
+        model, params, s, timestep=0.25 * units.fs, temperature_K=300,
+        friction=1 / (100 * units.fs), n_steps=20, log_every=5)
+    assert np.isfinite(log['epot']).all()
+    assert np.isfinite(s2.positions).all()
+    assert log['epot'].shape == (4,)
