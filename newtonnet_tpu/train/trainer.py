@@ -311,14 +311,21 @@ class Trainer:
         '''Main loop (ref trainer.py:187-296).'''
         step = self.start_step
         stop = False
+        import time as _time
         for epoch in tqdm(range(self.start_epoch, self.epochs)):
             log_one_epoch = {'epoch': epoch,
                              'lr': get_learning_rate(self.opt_state)}
 
+            t_epoch = _time.perf_counter()
             train_log = self.run_one_epoch(self.train_generator, step=True)
+            epoch_seconds = _time.perf_counter() - t_epoch
             step += len(self.train_generator)
             log_one_epoch['step'] = step
             log_one_epoch |= {f'train_{k}': v for k, v in train_log.items()}
+            # observability: wall time + throughput (SURVEY.md section 5)
+            log_one_epoch['epoch_seconds'] = round(epoch_seconds, 4)
+            log_one_epoch['steps_per_s'] = round(
+                len(self.train_generator) / max(epoch_seconds, 1e-9), 3)
 
             if epoch % self.check_val == 0 and self.val_generator is not None:
                 val_log = self.run_one_epoch(self.val_generator, step=False)

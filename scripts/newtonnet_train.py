@@ -59,6 +59,9 @@ def main():
     device = settings['general'].get('device', None)
     if device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    if settings['general'].get('debug_nans', False):
+        # opt-in NaN checking (SURVEY.md section 5: sanitizer equivalent)
+        jax.config.update('jax_debug_nans', True)
     matmul_precision = settings['general'].get('matmul_precision', None)
     if matmul_precision is not None:
         # 'highest' = full-fp32 matmul passes on TPU (the MXU's native path
