@@ -40,6 +40,10 @@ def _install_shims():
 
     def getattr_factory(mod):
         def _getattr(name):
+            if name.startswith('__'):
+                # never fabricate dunders (__file__, __path__, ...):
+                # inspect/importlib probe modules for them
+                raise AttributeError(name)
             cls = type(name, (_Shim,), {})
             cls.__module__ = mod.__name__
             setattr(mod, name, cls)
