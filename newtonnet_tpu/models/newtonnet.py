@@ -300,6 +300,9 @@ class NewtonNetCore(nn.Module):
     k_max: int = 48            # neighbor capacity in neighborlist mode
     shard_axis: str = ''       # mesh axis for atom-sharded graph parallelism
     reverse_lists: bool = False  # scatter-free backward (see InteractionNet)
+    compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
+    # precision: bf16 interaction stack (the HBM-bound pair tensors at half
+    # traffic), fp32 graph build, heads and aggregation
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -371,6 +374,12 @@ class NewtonNetCore(nn.Module):
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
         # message passing stack (ref newtonnet.py:93-94)
+        if self.compute_dtype:
+            cd = jnp.dtype(self.compute_dtype)
+            atom_node = atom_node.astype(cd)
+            force_node = force_node.astype(cd)
+            edges = edges._replace(dir=edges.dir.astype(cd),
+                                   rbf=edges.rbf.astype(cd))
         for i in range(self.n_interactions):
             atom_node, force_node = InteractionNet(
                 n_features=self.n_features, activation=act,
@@ -378,6 +387,9 @@ class NewtonNetCore(nn.Module):
                 reverse_lists=self.reverse_lists,
                 param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
+        if self.compute_dtype:
+            atom_node = atom_node.astype(pos.dtype)
+            force_node = force_node.astype(pos.dtype)
 
         outputs = {'atom_node': atom_node, 'force_node': force_node}
 

@@ -61,6 +61,7 @@ class NewtonNet:
             graph_mode: str = 'dense',
             k_max: int = 48,
             reverse_lists: bool = False,
+            compute_dtype: str = '',
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             param_dtype=jnp.float32,
@@ -80,6 +81,7 @@ class NewtonNet:
         self.graph_mode = graph_mode
         self.k_max = k_max
         self.reverse_lists = reverse_lists
+        self.compute_dtype = compute_dtype
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.param_dtype = param_dtype
@@ -97,7 +99,8 @@ class NewtonNet:
             n_interactions=n_interactions, activation=activation,
             layer_norm=layer_norm, output_properties=core_props,
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
-            reverse_lists=reverse_lists, param_dtype=param_dtype)
+            reverse_lists=reverse_lists, compute_dtype=compute_dtype,
+            param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -117,6 +120,7 @@ class NewtonNet:
             'output_properties': list(self.output_properties),
             'mic_mode': self.mic_mode, 'graph_mode': self.graph_mode,
             'k_max': self.k_max, 'reverse_lists': self.reverse_lists,
+            'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
         }
 
