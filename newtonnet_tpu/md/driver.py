@@ -35,9 +35,11 @@ def _pad_system(system, dtype, multiple=8):
     return z, pos, mom, masses, cell, n
 
 
-@partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every'))
+@partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every',
+                                   'nlist_every', 'skin'))
 def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
-                  friction, n_steps, log_every, key):
+                  friction, n_steps, log_every, key, nlist_every=0,
+                  skin=1.0):
     masses_c = masses[:, None]
     atom_mask = (z[0] > 0).astype(pos0.dtype)[:, None]
     sigma = jnp.sqrt(2 * temp * friction / masses_c)
@@ -47,13 +49,23 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
     c5 = dt ** 1.5 * sigma / (2.0 * jnp.sqrt(3.0))
     c4 = friction / 2.0 * c5
 
-    def energy_forces(pos):
-        out = model.apply(params, z, pos[None], cell)
+    amortize = (nlist_every > 1
+                and getattr(model, 'graph_mode', 'dense') == 'neighborlist')
+
+    def energy_forces(pos, nlist=None):
+        out = model.apply(params, z, pos[None], cell, nlist=nlist)
         return out['energy'][0], out['gradient_force'][0]
 
-    e0, f0 = energy_forces(pos0)
+    def build_nlist(pos):
+        # skin-radius list: valid until any atom moves ~skin/2; stale pairs
+        # beyond the true cutoff are re-masked inside the model every step
+        from newtonnet_tpu.ops.nlist import neighbor_list
+        idx, kmask, _, _ = neighbor_list(
+            pos[None], cell, z > 0, model.cutoff + skin, model.k_max,
+            mic_mode=model.mic_mode)
+        return idx, kmask
 
-    def body(carry, key):
+    def body(carry, key, nlist=None):
         pos, vel, f, _ = carry
         xi = jax.random.normal(key, pos.shape, pos.dtype)
         key2 = jax.random.fold_in(key, 1)
@@ -61,21 +73,39 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         vel = (vel + c1 * f / masses_c - c2 * vel
                + c3 * xi - c4 * eta) * atom_mask
         pos = pos + dt * vel + c5 * eta * atom_mask
-        epot, f = energy_forces(pos)
+        epot, f = energy_forces(pos, nlist=nlist)
         vel = (vel + c1 * f / masses_c - c2 * vel
                + c3 * xi - c4 * eta) * atom_mask
         ekin = 0.5 * jnp.sum(masses_c * vel * vel)
         return (pos, vel, f, epot), (epot, ekin)
 
     vel0 = mom0 / masses_c
-    (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
-        body, (pos0, vel0, f0, e0), jax.random.split(key, n_steps))
+    e0, f0 = energy_forces(pos0)
+    carry0 = (pos0, vel0, f0, e0)
+    if amortize:
+        assert n_steps % nlist_every == 0, \
+            'n_steps must be divisible by nlist_every'
+        n_chunks = n_steps // nlist_every
+
+        def chunk(carry, keys):
+            nlist = build_nlist(carry[0])
+            return jax.lax.scan(partial(body, nlist=nlist), carry, keys)
+
+        keys = jax.random.split(key, n_steps).reshape(
+            n_chunks, nlist_every, -1)
+        (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
+            chunk, carry0, keys)
+        epots, ekins = epots.reshape(-1), ekins.reshape(-1)
+    else:
+        (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
+            body, carry0, jax.random.split(key, n_steps))
     return pos, vel * masses_c, epots[::log_every], ekins[::log_every]
 
 
 def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                            friction, n_steps, log_every=100, seed=0,
-                           dtype=np.float32, matmul_precision='highest'):
+                           dtype=np.float32, matmul_precision='highest',
+                           nlist_every=0, skin=1.0):
     '''Run Langevin MD fully on device.
 
     matmul_precision defaults to 'highest' (full-fp32 MXU passes): with the
@@ -93,7 +123,8 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             jnp.asarray(mom), jnp.asarray(masses), jnp.asarray(cell),
             dt=float(timestep), temp=float(kB * temperature_K),
             friction=float(friction), n_steps=int(n_steps),
-            log_every=int(log_every), key=jax.random.PRNGKey(seed))
+            log_every=int(log_every), key=jax.random.PRNGKey(seed),
+            nlist_every=int(nlist_every), skin=float(skin))
     system.positions = np.asarray(pos_f)[:n].astype(np.float64)
     system.momenta = np.asarray(mom_f)[:n].astype(np.float64)
     dof = 3 * n

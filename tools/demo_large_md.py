@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(n_atoms=4096, n_steps=100, k_max=88):
+def main(n_atoms=4096, n_steps=100, k_max=128, nlist_every=10):
     from newtonnet_tpu.data import units
     from newtonnet_tpu.md.driver import run_langevin_on_device
     from newtonnet_tpu.md.system import System, maxwell_boltzmann
@@ -53,19 +53,21 @@ def main(n_atoms=4096, n_steps=100, k_max=88):
     edges = int(jnp.sum(kmask))
     print(f'N={n_atoms} atoms, {edges} directed edges, overflow={int(ovf.sum())}')
 
-    # warmup/compile (+ honest-timing fetch)
+    # warmup/compile (+ honest-timing fetch); skin-radius lists rebuilt
+    # every nlist_every steps, stale pairs re-masked per step in-model
     t0 = time.time()
     system, log = run_langevin_on_device(
         model, params, system, timestep=0.5 * units.fs, temperature_K=300,
-        friction=1 / (100 * units.fs), n_steps=2, log_every=1,
-        matmul_precision='default')
+        friction=1 / (100 * units.fs), n_steps=nlist_every, log_every=1,
+        matmul_precision='default', nlist_every=nlist_every)
     print(f'compile+warmup: {time.time() - t0:.0f}s')
 
     t0 = time.perf_counter()
     system, log = run_langevin_on_device(
         model, params, system, timestep=0.5 * units.fs, temperature_K=300,
         friction=1 / (100 * units.fs), n_steps=n_steps,
-        log_every=max(1, n_steps // 10), matmul_precision='default')
+        log_every=max(1, n_steps // 10), matmul_precision='default',
+        nlist_every=nlist_every)
     dt = (time.perf_counter() - t0) / n_steps
     print(f'{dt * 1e3:.1f} ms/step -> {1 / dt:.1f} steps/s, '
           f'{edges / dt / 1e6:.1f}M edges/s')
