@@ -374,6 +374,8 @@ class NewtonNetCore(nn.Module):
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
         # message passing stack (ref newtonnet.py:93-94)
+        import os as _os
+        remat = _os.environ.get('NEWTONNET_REMAT', '0') == '1'
         if self.compute_dtype:
             cd = jnp.dtype(self.compute_dtype)
             atom_node = atom_node.astype(cd)
@@ -381,7 +383,8 @@ class NewtonNetCore(nn.Module):
             edges = edges._replace(dir=edges.dir.astype(cd),
                                    rbf=edges.rbf.astype(cd))
         for i in range(self.n_interactions):
-            atom_node, force_node = InteractionNet(
+            layer_cls = nn.remat(InteractionNet) if remat else InteractionNet
+            atom_node, force_node = layer_cls(
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, shard_axis=self.shard_axis,
                 reverse_lists=self.reverse_lists,

@@ -91,7 +91,13 @@ def main():
     freeze_mask_fn = None
     example = next(iter(train_gen))
     if pretrained_model is not None:
-        model, params = load_model(pretrained_model['path'])
+        path = pretrained_model['path']
+        if str(path).endswith('.pt'):
+            # reference torch pickle (also the published ani1/ani1x/t1x zips)
+            from newtonnet_tpu.utils.torch_import import load_reference_model
+            model, params = load_reference_model(path)
+        else:
+            model, params = load_model(path)
         freeze_mask_fn = lambda params: build_freeze_mask(  # noqa: E731
             params,
             freeze_encoder=pretrained_model.get('freeze_encoder', False),
