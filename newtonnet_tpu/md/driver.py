@@ -20,19 +20,24 @@ from newtonnet_tpu.data.units import kB
 from newtonnet_tpu.data.xyz import ATOMIC_MASSES
 
 
-def _pad_system(system, dtype, multiple=8):
-    n = len(system)
-    n_pad = max(multiple, ((n + multiple - 1) // multiple) * multiple)
-    z = np.zeros((1, n_pad), dtype=np.int32)
-    z[0, :n] = system.numbers
-    pos = np.zeros((n_pad, 3), dtype=dtype)
-    pos[:n] = system.positions
-    mom = np.zeros((n_pad, 3), dtype=dtype)
-    mom[:n] = system.momenta
-    masses = np.ones(n_pad, dtype=dtype)
-    masses[:n] = system.masses
-    cell = np.asarray(system.cell, dtype=dtype).reshape(1, 3, 3)
-    return z, pos, mom, masses, cell, n
+def _pad_systems(systems, dtype, multiple=8):
+    '''Pad a list of Systems into one (M, n_pad, ...) replica batch.'''
+    n_max = max(len(s) for s in systems)
+    n_pad = max(multiple, ((n_max + multiple - 1) // multiple) * multiple)
+    M = len(systems)
+    z = np.zeros((M, n_pad), dtype=np.int32)
+    pos = np.zeros((M, n_pad, 3), dtype=dtype)
+    mom = np.zeros((M, n_pad, 3), dtype=dtype)
+    masses = np.ones((M, n_pad), dtype=dtype)
+    cell = np.zeros((M, 3, 3), dtype=dtype)
+    for i, s in enumerate(systems):
+        n = len(s)
+        z[i, :n] = s.numbers
+        pos[i, :n] = s.positions
+        mom[i, :n] = s.momenta
+        masses[i, :n] = s.masses
+        cell[i] = s.cell
+    return z, pos, mom, masses, cell
 
 
 @partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every',
@@ -40,8 +45,13 @@ def _pad_system(system, dtype, multiple=8):
 def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
                   friction, n_steps, log_every, key, nlist_every=0,
                   skin=1.0):
-    masses_c = masses[:, None]
-    atom_mask = (z[0] > 0).astype(pos0.dtype)[:, None]
+    '''Batched-replica Langevin: all arrays carry a leading replica axis M
+    (z (M, N), pos/mom (M, N, 3), masses (M, N), cell (M, 3, 3)); M
+    independent trajectories integrate in lockstep through the batched
+    model -- ensemble/replica sampling at near-single-trajectory cost for
+    small systems.'''
+    masses_c = masses[..., None]                       # (M, N, 1)
+    atom_mask = (z > 0).astype(pos0.dtype)[..., None]  # (M, N, 1)
     sigma = jnp.sqrt(2 * temp * friction / masses_c)
     c1 = dt / 2.0 - dt * dt * friction / 8.0
     c2 = dt * friction / 2.0 - dt * dt * friction * friction / 8.0
@@ -53,15 +63,15 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
                 and getattr(model, 'graph_mode', 'dense') == 'neighborlist')
 
     def energy_forces(pos, nlist=None):
-        out = model.apply(params, z, pos[None], cell, nlist=nlist)
-        return out['energy'][0], out['gradient_force'][0]
+        out = model.apply(params, z, pos, cell, nlist=nlist)
+        return out['energy'], out['gradient_force']   # (M,), (M, N, 3)
 
     def build_nlist(pos):
         # skin-radius list: valid until any atom moves ~skin/2; stale pairs
         # beyond the true cutoff are re-masked inside the model every step
         from newtonnet_tpu.ops.nlist import neighbor_list
         idx, kmask, _, _ = neighbor_list(
-            pos[None], cell, z > 0, model.cutoff + skin, model.k_max,
+            pos, cell, z > 0, model.cutoff + skin, model.k_max,
             mic_mode=model.mic_mode)
         return idx, kmask
 
@@ -76,7 +86,7 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         epot, f = energy_forces(pos, nlist=nlist)
         vel = (vel + c1 * f / masses_c - c2 * vel
                + c3 * xi - c4 * eta) * atom_mask
-        ekin = 0.5 * jnp.sum(masses_c * vel * vel)
+        ekin = 0.5 * jnp.sum(masses_c * vel * vel, axis=(-1, -2))  # (M,)
         return (pos, vel, f, epot), (epot, ekin)
 
     vel0 = mom0 / masses_c
@@ -108,15 +118,23 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                            nlist_every=0, skin=1.0):
     '''Run Langevin MD fully on device.
 
+    `system` may be a single System or a list of Systems: a list runs as a
+    batched replica ensemble (independent trajectories, independent noise),
+    at near-single-trajectory cost for small systems -- the TPU-native way
+    to gather sampling statistics.
+
     matmul_precision defaults to 'highest' (full-fp32 MXU passes): with the
     TPU default (bf16 passes), force round-off acts as white-noise heating
     and biases the thermostat temperature upward by >100 K.
 
-    Returns (system, log): the input System updated in place to the final
-    state, and a dict with strided 'epot', 'ekin', 'temperature' arrays.
+    Returns (system(s), log): the input System(s) updated in place to the
+    final state, and a dict with strided 'epot', 'ekin', 'temperature'
+    arrays -- shape (n_logged,) for a single system, (n_logged, M) for a
+    replica list.
     '''
+    systems = system if isinstance(system, (list, tuple)) else [system]
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-    z, pos, mom, masses, cell, n = _pad_system(system, dtype)
+    z, pos, mom, masses, cell = _pad_systems(systems, dtype)
     with jax.default_matmul_precision(matmul_precision):
         pos_f, mom_f, epots, ekins = _run_langevin(
             model, params, jnp.asarray(z), jnp.asarray(pos),
@@ -125,12 +143,16 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             friction=float(friction), n_steps=int(n_steps),
             log_every=int(log_every), key=jax.random.PRNGKey(seed),
             nlist_every=int(nlist_every), skin=float(skin))
-    system.positions = np.asarray(pos_f)[:n].astype(np.float64)
-    system.momenta = np.asarray(mom_f)[:n].astype(np.float64)
-    dof = 3 * n
-    ekins = np.asarray(ekins)
-    return system, {
-        'epot': np.asarray(epots),
-        'ekin': ekins,
-        'temperature': 2.0 * ekins / (dof * kB),
-    }
+    pos_f, mom_f = np.asarray(pos_f), np.asarray(mom_f)
+    for i, s in enumerate(systems):
+        n = len(s)
+        s.positions = pos_f[i, :n].astype(np.float64)
+        s.momenta = mom_f[i, :n].astype(np.float64)
+    dof = np.array([3 * len(s) for s in systems])
+    epots, ekins = np.asarray(epots), np.asarray(ekins)
+    log = {'epot': epots, 'ekin': ekins,
+           'temperature': 2.0 * ekins / (dof[None, :] * kB)}
+    if not isinstance(system, (list, tuple)):
+        log = {k: v[:, 0] for k, v in log.items()}
+        return systems[0], log
+    return systems, log

@@ -149,3 +149,30 @@ def test_on_device_driver_matches_host_energy(rng):
     assert np.isfinite(log['epot']).all()
     assert np.isfinite(s2.positions).all()
     assert log['epot'].shape == (4,)
+
+
+def test_replica_ensemble_md(rng):
+    '''Batched-replica on-device MD: independent trajectories, independent
+    noise, each consistent with the single-system path shapes.'''
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    rs = np.random.default_rng(0)
+    systems = []
+    for i in range(4):
+        s = _h2o()
+        s.positions = s.positions + rs.standard_normal((3, 3)) * 0.02
+        maxwell_boltzmann(s, 300, rng=np.random.default_rng(i))
+        systems.append(s)
+    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(
+        jnp.asarray(systems[0].numbers))
+    params = model.init(rng, z, jnp.zeros((1, 8, 3)), jnp.zeros((1, 3, 3)))
+    out, log = run_langevin_on_device(
+        model, params, systems, timestep=0.25 * units.fs, temperature_K=300,
+        friction=1 / (100 * units.fs), n_steps=12, log_every=4)
+    assert log['epot'].shape == (3, 4)
+    assert len(out) == 4
+    # different noise/starts -> replicas diverge
+    assert not np.allclose(out[0].positions, out[1].positions)
+    for s in out:
+        assert np.isfinite(s.positions).all()
