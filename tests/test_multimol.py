@@ -59,3 +59,37 @@ def test_bucketed_training_decreases_loss(tmp_path, rng):
                                                  'log.csv'))))
     losses = [float(r['train_loss']) for r in rows if r['epoch'].isdigit()]
     assert losses[-1] < losses[0]
+
+
+def test_direct_force_training_mode(tmp_path, rng):
+    '''The reference's direct (non-gradient) force mode: DirectForceOutput
+    head + DirectForceLoss with the cos/norm eval battery
+    (ref output.py:115-132, loss.py:140-149).'''
+    ds = _make_dataset(tmp_path, n_frames=12)
+    from newtonnet_tpu.data.loader import PaddedLoader
+    loader = PaddedLoader(ds, batch_size=4, shuffle=True, seed=0)
+    model = NewtonNet(n_features=16, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'direct_force'])
+    b = next(iter(loader))
+    import jax.numpy as jnp
+    params = model.init(rng, jnp.asarray(b['z']), jnp.asarray(b['pos']),
+                        jnp.asarray(b['cell']))
+    main_loss, eval_loss = get_loss_by_string(
+        {'energy': {}, 'direct_force': {'weight': 10.0}})
+    preds = model.apply(params, jnp.asarray(b['z']), jnp.asarray(b['pos']),
+                        jnp.asarray(b['cell']))
+    metrics = eval_loss(preds, b)
+    for k in ('direct_force_mae', 'direct_force_cos_mae',
+              'direct_force_norm_mse'):
+        assert k in metrics and np.isfinite(float(metrics[k]))
+    trainer = Trainer(
+        model=model, params=params, loss_fns=(main_loss, eval_loss),
+        optimizer=get_optimizer_by_string('adam', lr=2e-3),
+        output_base_path=str(tmp_path / 'df'),
+        train_generator=loader, epochs=5, steps_per_call=2)
+    trainer.train()
+    import csv, os
+    rows = list(csv.DictReader(open(os.path.join(trainer.output_path,
+                                                 'log.csv'))))
+    losses = [float(r['train_loss']) for r in rows if r['epoch'].isdigit()]
+    assert losses[-1] < losses[0]
