@@ -29,6 +29,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+def _enable_compilation_cache():
+    # persistent XLA compilation cache: compiles on the tunneled TPU go
+    # through a remote compile helper and take minutes; caching makes
+    # every subsequent run start instantly
+    import os
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR') or \
+        os.path.expanduser('~/.cache/newtonnet_tpu/jax')
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
 
 BATCH_SIZE = 100
 N_STEPS = 30
@@ -56,6 +70,7 @@ def count_edges(batch, cutoff=5.0):
 
 
 def main():
+    _enable_compilation_cache()
     import optax
     from newtonnet_tpu.models import NewtonNet
     from newtonnet_tpu.train import get_loss_by_string, get_optimizer_by_string

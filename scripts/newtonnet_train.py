@@ -18,8 +18,23 @@ import yaml
 
 import jax
 
+def _enable_compilation_cache():
+    # persistent XLA compilation cache: compiles on the tunneled TPU go
+    # through a remote compile helper and take minutes; caching makes
+    # every subsequent run start instantly
+    import os
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR') or \
+        os.path.expanduser('~/.cache/newtonnet_tpu/jax')
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
 
 def main():
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description='Train NewtonNet-TPU on a given dataset.')
     parser.add_argument('-c', '--config', type=str,

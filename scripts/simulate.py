@@ -18,7 +18,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _enable_compilation_cache():
+    import os, jax
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR') or os.path.expanduser('~/.cache/newtonnet_tpu/jax')
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(description='Aspirin MD with NewtonNet-TPU')
     parser.add_argument('--model', default='md17_model/training_1/models/best_model.msgpack')
     parser.add_argument('--xyz', default=os.path.join(
