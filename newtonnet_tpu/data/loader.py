@@ -332,6 +332,11 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
     rows beyond len(samples) are empty padding graphs.
     '''
     B, N = batch_pad, n_pad
+    oversized = max((len(s['z']) for s in samples), default=0)
+    if oversized > N:
+        raise ValueError(
+            f'sample with {oversized} atoms does not fit n_pad={N}; '
+            f'raise n_pad (or use BucketedLoader)')
     batch = {
         'z': np.zeros((B, N), dtype=np.int32),
         'pos': np.zeros((B, N, 3), dtype=dtype),

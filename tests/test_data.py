@@ -11,6 +11,7 @@ from newtonnet_tpu.data import (  # noqa
     PaddedLoader,
     collate,
 )
+from newtonnet_tpu.data.loader import Sample
 from newtonnet_tpu.data.statistics import compute_statistics
 from newtonnet_tpu.data.units import get_unit
 from newtonnet_tpu.data.xyz import Frame, read_extxyz, write_extxyz
@@ -171,3 +172,10 @@ def test_bucketed_loader(tmp_path):
     for b in batches:
         n_real_max = int((b['z'] > 0).sum(axis=1).max())
         assert b['z'].shape[1] - n_real_max < 8
+
+
+def test_collate_rejects_oversized_sample():
+    s = Sample(z=np.arange(1, 12, dtype=np.int32), pos=np.zeros((11, 3)),
+               cell=np.zeros((3, 3)), energy=0.0, force=np.zeros((11, 3)))
+    with pytest.raises(ValueError, match='does not fit'):
+        collate([s], n_pad=8, batch_pad=1)

@@ -111,3 +111,31 @@ def test_bec_acoustic_sum_rule(rng):
     pm[0, i, b] -= eps
     fd = (polarization(pp) - polarization(pm)) / (2 * eps)  # dP/dr_{i,b}
     np.testing.assert_allclose(bec[i, :, b], fd, rtol=1e-5, atol=1e-7)
+
+
+def test_periodic_model_with_charge_head(rng):
+    '''Full model with charge + Ewald aggregation on a periodic cell:
+    finite, padding-invariant, and cell-translation invariant.'''
+    from newtonnet_tpu.models import NewtonNet
+    rs = np.random.RandomState(11)
+    cell = jnp.asarray(np.diag([8.0, 9.0, 10.0])[None], F64)
+    pos = jnp.asarray(rs.rand(1, 6, 3), F64) @ cell[0]
+    z = jnp.asarray(rs.choice([1, 8], size=(1, 6)), jnp.int32)
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['charge', 'energy',
+                                         'gradient_force'],
+                      param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    out = model.apply(params, z, pos, cell)
+    assert np.isfinite(float(out['energy'][0]))
+    # padding invariance incl. the Ewald term
+    z2 = jnp.pad(z, ((0, 0), (0, 4)))
+    pos2 = jnp.pad(pos, ((0, 0), (0, 4), (0, 0)))
+    out2 = model.apply(params, z2, pos2, cell)
+    np.testing.assert_allclose(out['energy'], out2['energy'], rtol=1e-10)
+    # translation by a lattice vector
+    pos3 = pos.at[0, 2].add(cell[0, 0])
+    out3 = model.apply(params, z, pos3, cell)
+    np.testing.assert_allclose(out['energy'], out3['energy'], rtol=1e-8)
+    np.testing.assert_allclose(out['gradient_force'], out3['gradient_force'],
+                               atol=1e-8)

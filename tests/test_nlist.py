@@ -76,3 +76,29 @@ def test_model_dense_vs_neighborlist(rng, periodic, reverse_lists):
     np.testing.assert_allclose(out_d['energy'], out_n['energy'], rtol=1e-10)
     np.testing.assert_allclose(out_d['gradient_force'],
                                out_n['gradient_force'], atol=1e-10)
+
+
+def test_neighbor_list_triclinic():
+    '''Triclinic periodic cells through the neighbor-list path (exact MIC).'''
+    rs = np.random.RandomState(9)
+    cell_np = np.array([[[9.0, 0.0, 0.0],
+                         [2.5, 8.5, 0.0],
+                         [-1.0, 1.2, 9.5]]])
+    pos = jnp.asarray(rs.rand(1, 12, 3), F64) @ jnp.asarray(cell_np[0], F64)
+    z = jnp.asarray(rs.choice([1, 6], size=(1, 12)), jnp.int32)
+    cell = jnp.asarray(cell_np, F64)
+    common = dict(n_features=8, n_basis=4, n_interactions=1,
+                  output_properties=['energy', 'gradient_force'],
+                  mic_mode='exact', param_dtype=F64)
+    dense_model = NewtonNet(graph_mode='dense', **common)
+    nl_model = NewtonNet(graph_mode='neighborlist', k_max=11, **common)
+    params = dense_model.init(jax.random.PRNGKey(0), z, pos, cell)
+    out_d = dense_model.apply(params, z, pos, cell)
+    out_n = nl_model.apply(params, z, pos, cell)
+    np.testing.assert_allclose(out_d['energy'], out_n['energy'], rtol=1e-10)
+    np.testing.assert_allclose(out_d['gradient_force'],
+                               out_n['gradient_force'], atol=1e-10)
+    # lattice translation invariance through the nlist path
+    pos2 = pos.at[0, 3].add(jnp.asarray(cell_np[0, 1], F64))
+    out_n2 = nl_model.apply(params, z, pos2, cell)
+    np.testing.assert_allclose(out_n['energy'], out_n2['energy'], rtol=1e-9)
