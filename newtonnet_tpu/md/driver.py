@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from newtonnet_tpu.data.units import kB
-from newtonnet_tpu.data.xyz import ATOMIC_MASSES
+
 
 
 def _pad_systems(systems, dtype, multiple=8):

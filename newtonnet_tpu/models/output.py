@@ -23,7 +23,6 @@ Head ordering constraints from the reference (charge before energy before
 gradient_force/hessian, config.yml:36) are resolved here by computing in
 dependency order internally, so any order in `output_properties` works.
 '''
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -19,7 +19,7 @@ per atom with top_k; overflow (more than K neighbors inside the cutoff)
 drops the farthest and is reported via `overflow` so callers can re-bucket.
 A cell-list construction for very large N is a planned optimization.
 '''
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ no hand-written halo bookkeeping, exact to the single-device result.
 Combines with the 'data' axis for DP x GP meshes: batch sharded over
 'data', atoms over 'graph'.
 '''
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ except ImportError:  # pragma: no cover
         return x
 
 from newtonnet_tpu.train.loss import get_loss_by_string
-from newtonnet_tpu.train.optimizer import (
+from newtonnet_tpu.train.optimizer import (  # noqa: F401 (re-export)
     ReduceLROnPlateau,
     get_optimizer_by_string,
 )

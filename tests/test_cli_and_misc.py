@@ -1,6 +1,6 @@
 '''CLI plumbing (subprocess), head-ordering robustness, virial/stress
 consistency, and the ASE calculator bridge (exercised via a stub ase).'''
-import json
+
 import os
 import subprocess
 import sys
