@@ -176,3 +176,32 @@ def test_replica_ensemble_md(rng):
     assert not np.allclose(out[0].positions, out[1].positions)
     for s in out:
         assert np.isfinite(s.positions).all()
+
+
+def test_ensemble_calculator(rng, tmp_path):
+    '''Multi-checkpoint ensemble averaging in the calculator.'''
+    import os
+    from newtonnet_tpu.utils.checkpoint import save_model
+    z = jnp.asarray([[8, 1, 1, 0]], jnp.int32)
+    pos = jax.random.normal(rng, (1, 4, 3))
+    cell = jnp.zeros((1, 3, 3))
+    paths, outs = [], []
+    for seed in (0, 1):
+        model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                          output_properties=['energy', 'gradient_force'])
+        params = model.init(jax.random.PRNGKey(seed), z, pos, cell)
+        p = os.path.join(tmp_path, f'm{seed}.msgpack')
+        save_model(p, model, params)
+        paths.append(p)
+        single = NewtonNetCalculator(model_path=p,
+                                     properties=['energy', 'forces'])
+        outs.append(single.calculate(_h2o()))
+    ens = NewtonNetCalculator(model_path=paths,
+                              properties=['energy', 'forces'])
+    out = ens.calculate(_h2o())
+    np.testing.assert_allclose(
+        out['energy'], 0.5 * (outs[0]['energy'] + outs[1]['energy']),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        out['forces'], 0.5 * (outs[0]['forces'] + outs[1]['forces']),
+        rtol=1e-4, atol=1e-6)
