@@ -160,3 +160,29 @@ def test_ase_bridge_with_stub(rng, monkeypatch):
     for m in ('ase', 'ase.calculators', 'ase.calculators.calculator'):
         monkeypatch.delitem(sys.modules, m, raising=False)
     importlib.reload(ai)
+
+
+def test_evaluate_cli(tmp_path, rng):
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.utils.checkpoint import save_model
+    import jax.numpy as _jnp
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    z = _jnp.asarray([[6, 1, 1, 1, 0, 0, 0, 0]], _jnp.int32)
+    params = model.init(rng, z, jax.random.normal(rng, (1, 8, 3)),
+                        _jnp.zeros((1, 3, 3)))
+    ckpt = str(tmp_path / 'm.msgpack')
+    save_model(ckpt, model, params)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts', 'evaluate.py'),
+         '-m', ckpt, '-d',
+         os.path.join(REPO, 'data', 'md17_aspirin', 'ccsd_test'),
+         '--batch-size', '250', '--device', 'cpu',
+         '--out', str(tmp_path / 'p.npz')],
+        capture_output=True, text=True, timeout=400)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert 'force  MAE' in out.stdout
+    import numpy as _np
+    preds = _np.load(tmp_path / 'p.npz')
+    assert preds['energy'].shape == (500,)
+    assert preds['forces'].shape == (500 * 21, 3)
