@@ -40,36 +40,40 @@ def _dsilu(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-def _chain(np_, rbf_flat, adj, w):
+def _chain(np_, rbf_flat, adj, w, dot_dtype=jnp.float32):
     '''Shared forward chain: returns (me4, msg, msg2, p1, h1, phi1, p2, h2,
-    phi2) for block shapes (bb, n, n, *).'''
+    phi2) for block shapes (bb, n, n, *). dot_dtype=bfloat16 runs the MXU
+    passes in bf16 (f32 accumulation) for speed.'''
     we, w1a, w1b, w2a, w2b = w
     bb, n = np_.shape[0], np_.shape[1]
     f = np_.shape[-1]
-    me4 = jnp.dot(rbf_flat, we,
-                  preferred_element_type=jnp.float32).reshape(bb, n, n, f)
+
+    def dot(a, b):
+        return jnp.dot(a.astype(dot_dtype), b.astype(dot_dtype),
+                       preferred_element_type=jnp.float32)
+
+    me4 = dot(rbf_flat, we).reshape(bb, n, n, f)
     msg = me4 * np_[:, :, None, :] * np_[:, None, :, :] * adj
     msg2 = msg.reshape(bb * n * n, f)
-    p1 = jnp.dot(msg2, w1a, preferred_element_type=jnp.float32)
+    p1 = dot(msg2, w1a)
     h1 = _silu(p1)
-    phi1 = (jnp.dot(h1, w1b, preferred_element_type=jnp.float32)
-            .reshape(bb, n, n, f)) * adj
-    p2 = jnp.dot(msg2, w2a, preferred_element_type=jnp.float32)
+    phi1 = (dot(h1, w1b).reshape(bb, n, n, f)) * adj
+    p2 = dot(msg2, w2a)
     h2 = _silu(p2)
-    phi2 = (jnp.dot(h2, w2b, preferred_element_type=jnp.float32)
-            .reshape(bb, n, n, f)) * adj
+    phi2 = (dot(h2, w2b).reshape(bb, n, n, f)) * adj
     return me4, msg, msg2, p1, h1, phi1, p2, h2, phi2
 
 
 def _fwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
                 we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
-                inv1_ref, eq_ref):
+                inv1_ref, eq_ref, *, dot_dtype=jnp.float32):
     bb, n, _, r = rbf_ref.shape
     f = np_ref.shape[-1]
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
     adj = adj_ref[:][..., None]
     rbf_flat = rbf_ref[:].reshape(bb * n * n, r)
-    _, msg, _, _, _, phi1, _, _, phi2 = _chain(np_ref[:], rbf_flat, adj, w)
+    _, msg, _, _, _, phi1, _, _, phi2 = _chain(np_ref[:], rbf_flat, adj, w,
+                                               dot_dtype)
 
     inv1_ref[:] = jnp.sum(msg, axis=2)
     for d in range(3):
@@ -83,7 +87,8 @@ def _fwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
 def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
                 we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
                 dinv1_ref, deq_ref,
-                dnp_ref, drbf_ref, ddir_ref, dforce_ref):
+                dnp_ref, drbf_ref, ddir_ref, dforce_ref, *,
+                dot_dtype=jnp.float32):
     bb, n, _, r = rbf_ref.shape
     f = np_ref.shape[-1]
     np_ = np_ref[:]
@@ -91,7 +96,7 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
     adj = adj_ref[:][..., None]
     rbf_flat = rbf_ref[:].reshape(bb * n * n, r)
     me4, msg, msg2, p1, h1, phi1, p2, h2, phi2 = _chain(
-        np_, rbf_flat, adj, w)
+        np_, rbf_flat, adj, w, dot_dtype)
 
     dphi1 = jnp.zeros((bb, n, n, f), jnp.float32)
     dphi2 = jnp.zeros((bb, n, n, f), jnp.float32)
@@ -133,13 +138,15 @@ def _weight_specs(n_weights):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_weights)]
 
 
-def _call_fwd(np_, rbf, dir_, adj, force, weights, bb, interpret):
+def _call_fwd(np_, rbf, dir_, adj, force, weights, bb, interpret,
+              dot_dtype=jnp.float32):
     B, N, _, R = rbf.shape
     F = np_.shape[-1]
     in_shapes = [np_.shape, rbf.shape, dir_.shape, adj.shape, force.shape]
     out_shapes = [(B, N, F), (B, 3, N, F)]
+    import functools
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, dot_dtype=dot_dtype),
         grid=(B // bb,),
         in_specs=_specs(in_shapes, bb) + _weight_specs(5),
         out_specs=tuple(_specs(out_shapes, bb)),
@@ -150,13 +157,14 @@ def _call_fwd(np_, rbf, dir_, adj, force, weights, bb, interpret):
 
 
 def _call_bwd(np_, rbf, dir_, adj, force, weights, dinv1, deq, bb,
-              interpret):
+              interpret, dot_dtype=jnp.float32):
     B, N, _, R = rbf.shape
     in_shapes = [np_.shape, rbf.shape, dir_.shape, adj.shape, force.shape]
     cot_shapes = [dinv1.shape, deq.shape]
     out_shapes = [np_.shape, rbf.shape, dir_.shape, force.shape]
+    import functools
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, dot_dtype=dot_dtype),
         grid=(B // bb,),
         in_specs=(_specs(in_shapes, bb) + _weight_specs(5)
                   + _specs(cot_shapes, bb)),
@@ -167,7 +175,8 @@ def _call_bwd(np_, rbf, dir_, adj, force, weights, dinv1, deq, bb,
     )(np_, rbf, dir_, adj, force, *weights, dinv1, deq)
 
 
-def make_fused_pair_interaction(bb=4, interpret=False):
+def make_fused_pair_interaction(bb=4, interpret=False,
+                                dot_dtype=jnp.float32):
     '''Build the custom-VJP fused op.
 
     fn(np_ (B,N,F), rbf (B,N,N,R), dir (B,3,N,N), adj_f32 (B,N,N),
@@ -181,11 +190,11 @@ def make_fused_pair_interaction(bb=4, interpret=False):
     @jax.custom_vjp
     def fused(np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b):
         return _call_fwd(np_, rbf, dir_, adj, force,
-                         (We, W1a, W1b, W2a, W2b), bb, interpret)
+                         (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype)
 
     def fwd(np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b):
         out = _call_fwd(np_, rbf, dir_, adj, force,
-                        (We, W1a, W1b, W2a, W2b), bb, interpret)
+                        (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype)
         return out, (np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b)
 
     def bwd(res, cots):
@@ -193,7 +202,7 @@ def make_fused_pair_interaction(bb=4, interpret=False):
         dinv1, deq = cots
         dnp, drbf, ddir, dforce = _call_bwd(
             np_, rbf, dir_, adj, force, (We, W1a, W1b, W2a, W2b),
-            dinv1, deq, bb, interpret)
+            dinv1, deq, bb, interpret, dot_dtype)
         zero = jnp.zeros_like
         return (dnp, drbf, ddir, zero(adj), dforce,
                 zero(We), zero(W1a), zero(W1b), zero(W2a), zero(W2b))
