@@ -149,3 +149,29 @@ def test_dp_sharded_train_step_matches_single_device(rng):
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_schedulers_match_torch():
+    '''Linear/cosine epoch schedulers track torch's lr sequences.'''
+    import torch
+    from newtonnet_tpu.train.optimizer import CosineAnnealingLR, LinearLR
+
+    lin = torch.nn.Linear(1, 1)
+    opt = torch.optim.Adam(lin.parameters(), lr=0.5)
+    ref = torch.optim.lr_scheduler.LinearLR(opt, start_factor=0.25,
+                                            end_factor=1.0, total_iters=6)
+    mine = LinearLR(0.5, start_factor=0.25, end_factor=1.0, total_iters=6)
+    assert abs(opt.param_groups[0]['lr'] - mine.lr) < 1e-12
+    for _ in range(10):
+        ref.step()
+        mine.step()
+        assert abs(opt.param_groups[0]['lr'] - mine.lr) < 1e-12
+
+    opt2 = torch.optim.Adam(lin.parameters(), lr=0.5)
+    ref2 = torch.optim.lr_scheduler.CosineAnnealingLR(opt2, T_max=7,
+                                                      eta_min=0.01)
+    mine2 = CosineAnnealingLR(0.5, T_max=7, eta_min=0.01)
+    for _ in range(7):
+        ref2.step()
+        mine2.step()
+        assert abs(opt2.param_groups[0]['lr'] - mine2.lr) < 1e-9
