@@ -205,3 +205,21 @@ def test_ensemble_calculator(rng, tmp_path):
     np.testing.assert_allclose(
         out['forces'], 0.5 * (outs[0]['forces'] + outs[1]['forces']),
         rtol=1e-4, atol=1e-6)
+
+
+def test_fire_optimizer_converges():
+    '''FIRE must relax a stiff harmonic system where naive gradient
+    descent with a comparable step diverges.'''
+    from newtonnet_tpu.md.optimize import FIRE
+    rs = np.random.RandomState(0)
+    r0 = rs.randn(10, 3)
+    s = System([6] * 10, r0 + rs.randn(10, 3) * 0.3)
+    k = np.linspace(1.0, 60.0, 10)[:, None]  # stiff + soft modes
+
+    def force_fn(pos):
+        return -k * (pos - r0)
+
+    opt = FIRE(s, force_fn=force_fn)
+    converged, n, fnorm = opt.run(fmax=1e-3, steps=2000)
+    assert converged, (n, fnorm)
+    np.testing.assert_allclose(s.positions, r0, atol=1e-3)
