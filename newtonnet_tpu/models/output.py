@@ -63,6 +63,7 @@ class NewtonNet:
             compute_dtype: str = '',
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
+            ewald_mode: str = 'auto',
             param_dtype=jnp.float32,
     ):
         for key in output_properties:
@@ -83,6 +84,7 @@ class NewtonNet:
         self.compute_dtype = compute_dtype
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
+        self.ewald_mode = ewald_mode
         self.param_dtype = param_dtype
 
         needs = set(self.output_properties)
@@ -121,6 +123,7 @@ class NewtonNet:
             'k_max': self.k_max, 'reverse_lists': self.reverse_lists,
             'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
+            'ewald_mode': self.ewald_mode,
         }
 
     # ------------------------------------------------------------------ #
@@ -145,7 +148,8 @@ class NewtonNet:
                 # long-range latent Ewald at raw pos/cell (ref output.py:237-241)
                 energy = energy + ewald_energy(
                     out['charge'], pos, cell, atom_mask,
-                    sigma=self.ewald_sigma, n_k=self.ewald_n_k)
+                    sigma=self.ewald_sigma, n_k=self.ewald_n_k,
+                    mode=self.ewald_mode)
             out['energy'] = energy
             return jnp.sum(energy), out
         return jnp.zeros((), pos.dtype), out

@@ -97,8 +97,25 @@ def ewald_energy_aperiodic(charge, pos, atom_mask, sigma=1.0, eps=1e-12):
     return 0.5 * jnp.sum(jnp.where(pair_mask, qq * kernel, 0.0), axis=(1, 2))
 
 
-def ewald_energy(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
-    '''Dispatch periodic/aperiodic per graph (both branches are static).'''
+def ewald_energy(charge, pos, cell, atom_mask, sigma=1.0, n_k=8,
+                 mode='auto'):
+    '''Long-range latent-charge energy.
+
+    mode (static):
+      'periodic'  -- reciprocal-space sum only (all graphs have cells);
+      'aperiodic' -- direct-space smeared Coulomb only (molecular data);
+      'auto'      -- per-graph runtime dispatch: computes BOTH static
+                     branches and selects with `where`. Correct for mixed
+                     batches, but pays for the unused branch -- set the
+                     static mode when the dataset's periodicity is known.
+    '''
+    if mode == 'periodic':
+        return ewald_energy_periodic(charge, pos, cell, atom_mask,
+                                     sigma=sigma, n_k=n_k)
+    if mode == 'aperiodic':
+        return ewald_energy_aperiodic(charge, pos, atom_mask, sigma=sigma)
+    if mode != 'auto':
+        raise ValueError(f'unknown ewald mode {mode!r}')
     is_periodic = jnp.any(cell != 0, axis=(-1, -2))
     e_per = ewald_energy_periodic(charge, pos, cell, atom_mask,
                                   sigma=sigma, n_k=n_k)

@@ -73,6 +73,12 @@ class _SchedulerBase:
         return False
 
     @property
+    def per_step(self):
+        '''True if step() advances per optimizer step (torch OneCycleLR
+        semantics) rather than per epoch.'''
+        return False
+
+    @property
     def should_stop(self):
         return False
 
@@ -173,27 +179,51 @@ class CosineAnnealingLR(_SchedulerBase):
 
 
 class OneCycleLR(_SchedulerBase):
+    '''torch OneCycleLR (anneal_strategy='cos', three_phase=False), stepped
+    per *optimizer step* like torch (the Trainer detects `per_step` and
+    advances this inside the batch loop instead of per epoch; ref
+    optimizer.py:58-61 passes torch's class through, which is per-step).
+
+    lr at step s (s = number of .step() calls since construction; torch
+    calls step() once in its constructor, so lr starts at initial_lr):
+      phase 1 (s <= pct_start*total_steps - 1): cos-anneal initial->max
+      phase 2 (otherwise):                      cos-anneal max->min
+    '''
+
     def __init__(self, lr, max_lr, total_steps, pct_start=0.3,
                  div_factor=25.0, final_div_factor=1e4):
-        super().__init__(max_lr / div_factor)
         self.max_lr = max_lr
         self.total_steps = total_steps
         self.pct_start = pct_start
         self.initial_lr = max_lr / div_factor
-        self.final_lr = self.initial_lr / final_div_factor
-        self.epoch = 0
+        self.min_lr = self.initial_lr / final_div_factor
+        self.last_step = 0
+        super().__init__(self.lr_at(0))
+
+    @property
+    def per_step(self):
+        return True
+
+    @staticmethod
+    def _anneal_cos(start, end, pct):
+        # torch _annealing_cos: cosine interpolation from start to end
+        return end + (start - end) / 2.0 * (1 + math.cos(math.pi * pct))
+
+    def lr_at(self, step_num):
+        '''Closed-form lr after `step_num` scheduler steps (torch-exact).'''
+        phase1_end = self.pct_start * self.total_steps - 1
+        phase2_end = self.total_steps - 1
+        step_num = min(step_num, phase2_end)
+        if step_num <= phase1_end and phase1_end > 0:
+            pct = step_num / phase1_end
+            return self._anneal_cos(self.initial_lr, self.max_lr, pct)
+        denom = phase2_end - phase1_end
+        pct = (step_num - phase1_end) / denom if denom > 0 else 1.0
+        return self._anneal_cos(self.max_lr, self.min_lr, pct)
 
     def step(self, metric=None):
-        self.epoch += 1
-        t = min(self.epoch / self.total_steps, 1.0)
-        if t < self.pct_start:
-            u = t / self.pct_start
-            self.lr = self.initial_lr + (self.max_lr - self.initial_lr) * (
-                1 - math.cos(math.pi * u)) / 2
-        else:
-            u = (t - self.pct_start) / (1 - self.pct_start)
-            self.lr = self.final_lr + (self.max_lr - self.final_lr) * (
-                1 + math.cos(math.pi * u)) / 2
+        self.last_step += 1
+        self.lr = self.lr_at(self.last_step)
         return self.lr
 
 
@@ -205,6 +235,12 @@ class ChainedScheduler(_SchedulerBase):
     @property
     def needs_metric(self):
         return any(s.needs_metric for s in self.schedulers)
+
+    @property
+    def per_step(self):
+        # torch ChainedScheduler steps all children together; a chain
+        # containing a per-step member is stepped at batch granularity
+        return any(s.per_step for s in self.schedulers)
 
     def step(self, metric=None):
         for s in self.schedulers:

@@ -56,6 +56,35 @@ def set_learning_rate(opt_state, lr):
     return opt_state
 
 
+def with_learning_rate(opt_state, lr):
+    '''Pure (traceable) version of set_learning_rate: returns a new opt
+    state whose injected learning_rate is `lr`. Used inside the jitted
+    train step so per-step schedulers (OneCycleLR) can vary the lr within
+    a lax.scan chunk without recompiling.'''
+    import jax.numpy as jnp
+
+    def rec(state):
+        if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
+            hp = dict(state.hyperparams)
+            hp['learning_rate'] = jnp.asarray(lr, hp['learning_rate'].dtype)
+            return state._replace(hyperparams=hp), True
+        if isinstance(state, tuple) and not hasattr(state, '_fields'):
+            out, found = [], False
+            for s in state:
+                if found:
+                    out.append(s)
+                else:
+                    s2, found = rec(s)
+                    out.append(s2)
+            return tuple(out), found
+        return state, False
+
+    new_state, found = rec(opt_state)
+    if not found:
+        raise ValueError('no injected learning_rate found in opt_state')
+    return new_state
+
+
 def get_learning_rate(opt_state):
     def visit(state):
         if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
@@ -104,6 +133,12 @@ class Trainer:
             get_optimizer_by_string('adam', clip_grad=clip_grad)
         self.opt_state = self.tx.init(self.params)
         self.lr_scheduler = lr_scheduler
+        if lr_scheduler is not None:
+            # schedulers with an initial factor (LinearLR start_factor,
+            # OneCycleLR initial_lr) must shape the very first step, as in
+            # torch where the scheduler constructor writes param_groups lr
+            self.opt_state = set_learning_rate(self.opt_state,
+                                               lr_scheduler.lr)
         self.best_val_loss = float('inf')
         self.train_generator = train_generator
         self.val_generator = val_generator
@@ -130,6 +165,12 @@ class Trainer:
         self.check_val = checkpoint.get('check_val', 1)
         self.check_test = checkpoint.get('check_test', 1)
 
+        # per-step schedulers (torch OneCycleLR semantics) advance the lr
+        # every optimizer step; the lr is threaded through the jitted
+        # step/scan as a traced scalar so nothing recompiles
+        self._per_step_sched = bool(
+            lr_scheduler is not None and getattr(lr_scheduler, 'per_step',
+                                                 False))
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._train_scan = self._build_scan(self._train_step_body, train=True)
@@ -146,16 +187,20 @@ class Trainer:
         repl = NamedSharding(self.mesh, P())
         return batch_sh, repl
 
-    def _train_step_body(self, params, opt_state, totals, batch):
+    def _train_step_body(self, params, opt_state, totals, batch, lr=None):
         # `totals` accumulates per-epoch metric sums ON DEVICE -- the host
         # only fetches once per epoch (a per-step device_get would force a
         # sync round trip per step, which dominates on tunneled backends).
+        # `lr` (traced scalar) is set into the opt state when a per-step
+        # scheduler drives the run; None keeps the state's current lr.
         def loss_fn(p):
             preds = self.model.apply(p, batch['z'], batch['pos'],
                                      batch['cell'])
             return self.main_loss(preds, batch), preds
         (loss, preds), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if lr is not None:
+            opt_state = with_learning_rate(opt_state, lr)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {'loss': loss, **self.eval_loss(preds, batch)}
@@ -170,27 +215,82 @@ class Trainer:
         return jax.tree.map(lambda t, m: t + m, totals, metrics)
 
     def _build_scan(self, body, train):
-        '''Jit a lax.scan running `steps_per_call` batches per dispatch.'''
+        '''Jit a lax.scan running `steps_per_call` batches per dispatch.
+
+        On a mesh, the stacked batches are sharded over the data axis
+        (scan axis unsharded) and the carried state is replicated, so the
+        chunked dispatch path works under data parallelism too.
+        '''
+        _, repl = self._shardings()
+
+        def stacked_sharding(stacked):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.tree.map(
+                lambda _: NamedSharding(self.mesh, P(None, 'data')), stacked)
+
         if train:
-            def scan_fn(params, opt_state, totals, stacked):
-                def step(carry, batch):
-                    params, opt_state, totals = carry
-                    return self._train_step_body(params, opt_state, totals,
-                                                 batch), None
-                (params, opt_state, totals), _ = jax.lax.scan(
-                    step, (params, opt_state, totals), stacked)
-                return params, opt_state, totals
-            return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+            if self._per_step_sched:
+                def scan_fn(params, opt_state, totals, stacked, lrs):
+                    def step(carry, x):
+                        batch, lr = x
+                        params, opt_state, totals = carry
+                        return self._train_step_body(
+                            params, opt_state, totals, batch, lr), None
+                    (params, opt_state, totals), _ = jax.lax.scan(
+                        step, (params, opt_state, totals), (stacked, lrs))
+                    return params, opt_state, totals
+            else:
+                def scan_fn(params, opt_state, totals, stacked):
+                    def step(carry, batch):
+                        params, opt_state, totals = carry
+                        return self._train_step_body(params, opt_state,
+                                                     totals, batch), None
+                    (params, opt_state, totals), _ = jax.lax.scan(
+                        step, (params, opt_state, totals), stacked)
+                    return params, opt_state, totals
+            if self.mesh is None:
+                return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
+
+            jitted = {}  # memoized so the jit cache persists across calls
+
+            def sharded(params, opt_state, totals, stacked, *rest):
+                if 'fn' not in jitted:
+                    in_sh = (repl, repl, repl, stacked_sharding(stacked)) + \
+                        tuple(repl for _ in rest)
+                    jitted['fn'] = jax.jit(
+                        scan_fn, donate_argnums=(0, 1, 2), in_shardings=in_sh,
+                        out_shardings=(repl, repl, repl))
+                return jitted['fn'](params, opt_state, totals, stacked, *rest)
+            return sharded
 
         def scan_fn(params, totals, stacked):
             def step(totals, batch):
                 return self._eval_step_body(params, totals, batch), None
             totals, _ = jax.lax.scan(step, totals, stacked)
             return totals
-        return jax.jit(scan_fn, donate_argnums=(1,))
+        if self.mesh is None:
+            return jax.jit(scan_fn, donate_argnums=(1,))
+
+        jitted = {}
+
+        def sharded_eval(params, totals, stacked):
+            if 'fn' not in jitted:
+                jitted['fn'] = jax.jit(
+                    scan_fn, donate_argnums=(1,),
+                    in_shardings=(repl, repl, stacked_sharding(stacked)),
+                    out_shardings=repl)
+            return jitted['fn'](params, totals, stacked)
+        return sharded_eval
 
     def _build_train_step(self):
-        train_step = self._train_step_body
+        if self._per_step_sched:
+            def train_step(params, opt_state, totals, batch, lr):
+                return self._train_step_body(params, opt_state, totals,
+                                             batch, lr)
+            n_extra = 1
+        else:
+            train_step = self._train_step_body
+            n_extra = 0
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None:
@@ -200,7 +300,8 @@ class Trainer:
                 in_shardings=(repl, repl, repl,
                               jax.tree.map(lambda _: batch_sh, {
                                   'z': 0, 'pos': 0, 'cell': 0, 'energy': 0,
-                                  'force': 0, 'graph_mask': 0})),
+                                  'force': 0, 'graph_mask': 0}))
+                + (repl,) * n_extra,
                 out_shardings=(repl, repl, repl))
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
@@ -353,8 +454,9 @@ class Trainer:
                 import wandb
                 wandb.log(log_one_epoch)
 
-            # epoch-level LR schedule (ref trainer.py:231-236)
-            if self.lr_scheduler is not None:
+            # epoch-level LR schedule (ref trainer.py:231-236); per-step
+            # schedulers (OneCycleLR) already advanced inside run_one_epoch
+            if self.lr_scheduler is not None and not self._per_step_sched:
                 if self.lr_scheduler.needs_metric:
                     if 'val_loss' in log_one_epoch:
                         self.lr_scheduler.step(log_one_epoch['val_loss'])
@@ -408,14 +510,26 @@ class Trainer:
         totals = {k: jax.numpy.zeros((), jax.numpy.float32)
                   for k in metric_names}
         n = 0
-        spc = self.steps_per_call if self.mesh is None else 1
+        spc = self.steps_per_call
         pending = []
+        per_step_lr = step and self._per_step_sched
+
+        def next_lr():
+            # torch semantics: the lr in effect for optimizer step k is the
+            # scheduler's value *before* its k-th post-step advance
+            lr = self.lr_scheduler.lr
+            self.lr_scheduler.step()
+            return np.float32(lr)
 
         def run_single(batch):
             nonlocal totals
             if step:
-                self.params, self.opt_state, totals = self._train_step(
-                    self.params, self.opt_state, totals, batch)
+                if per_step_lr:
+                    self.params, self.opt_state, totals = self._train_step(
+                        self.params, self.opt_state, totals, batch, next_lr())
+                else:
+                    self.params, self.opt_state, totals = self._train_step(
+                        self.params, self.opt_state, totals, batch)
             else:
                 totals = self._eval_step(self.params, totals, batch)
 
@@ -429,8 +543,17 @@ class Trainer:
                 stacked = {k: np.stack([b[k] for b in pending])
                            for k in pending[0]}
                 if step:
-                    self.params, self.opt_state, totals = self._train_scan(
-                        self.params, self.opt_state, totals, stacked)
+                    if per_step_lr:
+                        lrs = np.asarray([next_lr() for _ in pending],
+                                         np.float32)
+                        (self.params, self.opt_state,
+                         totals) = self._train_scan(
+                            self.params, self.opt_state, totals, stacked,
+                            lrs)
+                    else:
+                        (self.params, self.opt_state,
+                         totals) = self._train_scan(
+                            self.params, self.opt_state, totals, stacked)
                 else:
                     totals = self._eval_scan(self.params, totals, stacked)
             else:

