@@ -9,6 +9,7 @@ DataLoaders are replaced by static-shape PaddedLoaders.
 import numpy as np
 
 from newtonnet_tpu.data.loader import (
+    BucketedLoader,
     MolecularDataset,
     MolecularInMemoryDataset,
     PaddedLoader,
@@ -31,8 +32,16 @@ def parse_train_test(
         test_batch_size=32,
         seed=0,
         n_pad=None,
+        bucketed=False,
+        bucket_multiple=8,
         **dataset_kwargs):
-    '''Build the three padded loaders + scaler statistics.
+    '''Build the three loaders + scaler statistics.
+
+    `bucketed: true` (YAML data section) groups frames into per-size
+    buckets (BucketedLoader) instead of one global padding -- the right
+    choice for heterogeneous datasets (multi-molecule sweeps, ANI-style
+    collections) where one big molecule would tax every batch with its
+    O(N^2) padding cost. One compilation per bucket size.
 
     Returns:
         (train_gen, val_gen, test_gen, stats)
@@ -67,19 +76,31 @@ def parse_train_test(
     print(f'data size (train, val, test): '
           f'{len(train_data)}, {len(val_data)}, {len(test_data)}')
 
-    # one shared atom padding across the three loaders (one compile)
-    if n_pad is None:
-        n_pad = max(8, -(-max(d.max_atoms for d in
-                              (train_data, val_data, test_data)
-                              if len(d) > 0) // 8) * 8)
+    if bucketed:
+        train_gen = BucketedLoader(train_data, train_batch_size,
+                                   shuffle=True, seed=seed,
+                                   bucket_multiple=bucket_multiple)
+        val_gen = BucketedLoader(val_data, val_batch_size, shuffle=False,
+                                 seed=seed + 1,
+                                 bucket_multiple=bucket_multiple)
+        test_gen = BucketedLoader(test_data, test_batch_size, shuffle=False,
+                                  seed=seed + 2,
+                                  bucket_multiple=bucket_multiple)
+    else:
+        # one shared atom padding across the three loaders (one compile)
+        if n_pad is None:
+            n_pad = max(8, -(-max(d.max_atoms for d in
+                                  (train_data, val_data, test_data)
+                                  if len(d) > 0) // 8) * 8)
 
-    train_gen = PaddedLoader(train_data, train_batch_size, shuffle=True,
-                             n_pad=n_pad, seed=seed)
-    val_gen = PaddedLoader(val_data, val_batch_size, shuffle=len(val_data) > 0,
-                           n_pad=n_pad, seed=seed + 1)
-    test_gen = PaddedLoader(test_data, test_batch_size,
-                            shuffle=len(test_data) > 0, n_pad=n_pad,
-                            seed=seed + 2)
+        train_gen = PaddedLoader(train_data, train_batch_size, shuffle=True,
+                                 n_pad=n_pad, seed=seed)
+        val_gen = PaddedLoader(val_data, val_batch_size,
+                               shuffle=len(val_data) > 0,
+                               n_pad=n_pad, seed=seed + 1)
+        test_gen = PaddedLoader(test_data, test_batch_size,
+                                shuffle=len(test_data) > 0, n_pad=n_pad,
+                                seed=seed + 2)
     print(f'batch size (train, val, test): '
           f'{train_batch_size}, {val_batch_size}, {test_batch_size}')
 

@@ -125,6 +125,9 @@ class InteractionNet(nn.Module):
     activation: Callable
     layer_norm: bool = False
     shard_axis: str = ''  # mesh axis name for atom-sharded (graph-parallel)
+    halo: int = 0  # >0: neighborlist indices point into the halo-extended
+    # atom axis and per-layer communication is a boundary-block ring
+    # exchange (parallel/halo.py) instead of the dense all-gather
     reverse_lists: bool = False  # gather-only backward via transpose lists
     param_dtype: jnp.dtype = jnp.float32
 
@@ -173,6 +176,15 @@ class InteractionNet(nn.Module):
         # reverse-list path exists for scatter-hostile configurations.
         if dense:
             gather_j = None
+        elif self.shard_axis and self.halo > 0:
+            # halo graph parallelism: neighbor indices address the
+            # [left halo | own | right halo] extended axis; only the
+            # boundary blocks move over ICI (parallel/halo.py)
+            from newtonnet_tpu.parallel.halo import exchange_halo
+
+            def gather_j(x):
+                ext = exchange_halo(x, self.halo, self.shard_axis)
+                return gather_nodes(ext, edges.idx)
         elif self.reverse_lists:
             def gather_j(x):
                 return edge_gather(x, edges.idx, edges.rev, edges.rev_mask)
@@ -299,6 +311,9 @@ class NewtonNetCore(nn.Module):
     graph_mode: str = 'dense'  # 'dense' (molecules) | 'neighborlist' (large)
     k_max: int = 48            # neighbor capacity in neighborlist mode
     shard_axis: str = ''       # mesh axis for atom-sharded graph parallelism
+    halo: int = 0              # boundary block size for halo exchange
+    # (neighborlist + shard_axis; atoms must be spatially sorted --
+    # parallel/halo.py)
     reverse_lists: bool = False  # scatter-free backward (see InteractionNet)
     compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
     # precision: bf16 interaction stack (the HBM-bound pair tensors at half
@@ -349,7 +364,24 @@ class NewtonNetCore(nn.Module):
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
         elif self.graph_mode == 'neighborlist':
-            if nlist is not None:
+            if self.shard_axis and self.halo > 0:
+                # halo graph parallelism: candidates = own slab plus the
+                # ring neighbors' boundary blocks; indices address the
+                # extended axis (self-edges excluded at offset halo)
+                from newtonnet_tpu.ops.nlist import neighbor_list_rect
+                from newtonnet_tpu.parallel.halo import exchange_halo
+                pos_ext = exchange_halo(pos, self.halo, self.shard_axis)
+                mask_ext = exchange_halo(atom_mask, self.halo,
+                                         self.shard_axis)
+                if self.reverse_lists:
+                    raise ValueError(
+                        'reverse_lists is incompatible with halo sharding '
+                        '(transpose lists would span shard boundaries)')
+                idx, kmask, disp, _ = neighbor_list_rect(
+                    pos, pos_ext, cell, atom_mask, mask_ext, self.cutoff,
+                    self.k_max, self_offset=self.halo,
+                    mic_mode=self.mic_mode)
+            elif nlist is not None:
                 idx, kmask = nlist
                 disp = recompute_displacements(pos, cell, idx,
                                                mic_mode=self.mic_mode)
@@ -387,7 +419,7 @@ class NewtonNetCore(nn.Module):
             atom_node, force_node = layer_cls(
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, shard_axis=self.shard_axis,
-                reverse_lists=self.reverse_lists,
+                halo=self.halo, reverse_lists=self.reverse_lists,
                 param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
         if self.compute_dtype:

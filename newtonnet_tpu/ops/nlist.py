@@ -89,6 +89,55 @@ def _mic_edges(disp, cell, is_periodic, mic_mode):
     return out.reshape(B, N, K, 3)
 
 
+def neighbor_list_rect(pos_own, pos_cand, cell, own_mask, cand_mask,
+                       cutoff, k_max, self_offset=None, mic_mode='exact'):
+    '''Rectangular neighbor list: own rows vs a candidate column set.
+
+    Used by halo-exchange graph parallelism (parallel/halo.py): each shard
+    searches its own atoms' neighbors among the extended candidate array
+    [left halo | own | right halo] instead of the global atom set, keeping
+    the search O(N_loc x N_ext).
+
+    Args:
+        pos_own: (B, N_own, 3) row atoms.
+        pos_cand: (B, N_cand, 3) candidate atoms (often a superset that
+            contains the own atoms at column offset `self_offset`).
+        own_mask: (B, N_own) bool; cand_mask: (B, N_cand) bool.
+        self_offset: if not None, candidate column (self_offset + i) is
+            excluded for row i (self-edge exclusion when own atoms appear
+            in the candidate set at that offset).
+
+    Returns:
+        idx (B, N_own, K) int32 into the candidate axis, mask (B, N_own, K),
+        disp (B, N_own, K, 3), overflow (B,) int32.
+    '''
+    B, N_own = pos_own.shape[:2]
+    N_cand = pos_cand.shape[1]
+    k_max = min(k_max, N_cand - 1) if N_cand > 1 else 1
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+
+    disp = pos_own[:, :, None, :] - pos_cand[:, None, :, :]
+    disp = minimum_image(disp, cell, is_periodic, mic_mode=mic_mode)
+    d2 = jnp.sum(disp * disp, axis=-1)  # (B, N_own, N_cand)
+    valid = (own_mask[:, :, None] & cand_mask[:, None, :]
+             & (d2 < cutoff * cutoff))
+    if self_offset is not None:
+        row_ids = jnp.arange(N_own)[None, :, None] + self_offset
+        col_ids = jnp.arange(N_cand)[None, None, :]
+        valid = valid & (row_ids != col_ids)
+
+    score = jnp.where(valid, -d2, -jnp.inf)
+    top_score, top_idx = jax.lax.top_k(score, k_max)
+    kmask = jnp.isfinite(top_score)
+    n_valid = jnp.sum(valid, axis=-1)
+    overflow = jnp.sum((n_valid > k_max) & own_mask, axis=-1)
+
+    idx = jnp.where(kmask, top_idx.astype(jnp.int32), 0)
+    disp = jnp.take_along_axis(
+        disp, idx[..., None], axis=2)
+    return idx, kmask, disp, overflow
+
+
 def recompute_displacements(pos, cell, idx, mic_mode='exact'):
     '''disp_i - disp_j for a precomputed index list, minimum-imaged.
 
@@ -194,10 +243,12 @@ edge_gather.defvjp(_edge_gather_fwd, _edge_gather_bwd)
 def gather_nodes(x, idx):
     '''Gather per-atom features at neighbor indices.
 
-    x: (B, N, ...) -> (B, N, K, ...) for idx (B, N, K).
+    x: (B, N, ...) -> (B, R, K, ...) for idx (B, R, K). The row count R may
+    differ from N (halo mode gathers own-atom rows from the halo-extended
+    candidate axis).
     '''
     B, N = x.shape[:2]
-    K = idx.shape[-1]
+    R, K = idx.shape[1], idx.shape[2]
     flat = jnp.take_along_axis(
-        x.reshape(B, N, -1), idx.reshape(B, N * K, 1), axis=1)
-    return flat.reshape((B, N, K) + x.shape[2:])
+        x.reshape(B, N, -1), idx.reshape(B, R * K, 1), axis=1)
+    return flat.reshape((B, R, K) + x.shape[2:])

@@ -8,3 +8,11 @@ from newtonnet_tpu.parallel.distributed import (
     make_global_mesh,
     process_local_batch_slice,
 )
+from newtonnet_tpu.parallel.halo import (
+    check_halo_capacity,
+    exchange_halo,
+    make_halo_energy_force_fn,
+    make_halo_train_step,
+    shard_halo_batch,
+    spatial_sort,
+)

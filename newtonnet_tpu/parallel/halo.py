@@ -1,0 +1,319 @@
+'''Halo-exchange graph parallelism: boundary-only communication for large
+atomistic systems (SURVEY.md sections 2.3/5; supersedes the all-gather path
+in parallel/graph_parallel.py for 10k+-atom systems).
+
+Atoms are sorted along x (fractional x for periodic cells) and split into
+contiguous slabs, one per device on the mesh's 'graph' axis. Each shard owns
+N_loc atoms; because the order is spatial, every neighbor of an own atom
+within the model cutoff lives either in the shard itself or among the first/
+last `n_halo` atoms of the adjacent shards. Per message-passing layer each
+shard therefore exchanges only those boundary blocks with its ring
+neighbors (jax.lax.ppermute over ICI) -- communication and memory scale
+with the boundary (n_halo), not with the total atom count, unlike the
+reference's single-device O(N^2) graph (newtonnet/layers/
+representations.py:70-98) and round 1's per-layer all-gather.
+
+Shape/dataflow per shard (B graphs on the 'data' axis):
+
+    own:  pos (B, N_loc, 3)     sorted slab, owned
+    ext:  [left halo | own | right halo]  (B, N_loc + 2H, .)
+    idx:  (B, N_loc, K) neighbor indices INTO the ext axis
+          (ops/nlist.neighbor_list_rect, self-edges excluded at offset H)
+
+Derivatives: jax.grad runs inside the same SPMD program; the ppermute of a
+halo exchange transposes to the reverse ppermute, so cross-shard force
+contributions (dE_j/dpos_mine for j owned elsewhere) arrive automatically
+and exactly. Validity requires slab width > cutoff (i.e. n_devices not too
+large for the box) and n_halo large enough to cover every atom within
+`cutoff` of a slab boundary -- check_halo_capacity verifies both from the
+sorted positions.
+
+The ring wraps, so periodic cells parallelize naturally: shard 0's left
+halo is the last slab's right boundary, and the minimum-image convention
+maps the displacement across the wrap. Requires >= 2 shards on the graph
+axis (with one shard the wrapped halo would duplicate local edges); use the
+plain neighborlist path for a single device.
+'''
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def exchange_halo(x, n_halo, axis_name):
+    '''Ring-exchange boundary blocks: (B, N_loc, ...) -> (B, N_loc+2H, ...).
+
+    Returns [left halo | own | right halo] along axis 1, where the left
+    halo is the right-boundary block (last H atoms) of the left ring
+    neighbor and vice versa. Communication: 2 * H * feature_size per shard
+    per call, independent of the global atom count.
+    '''
+    d = jax.lax.axis_size(axis_name)
+    first = x[:, :n_halo]
+    last = x[:, -n_halo:]
+    # shard i receives `last` from shard i-1 (left neighbor): perm sends i -> i+1
+    left = jax.lax.ppermute(last, axis_name,
+                            [(i, (i + 1) % d) for i in range(d)])
+    # shard i receives `first` from shard i+1 (right neighbor)
+    right = jax.lax.ppermute(first, axis_name,
+                             [(i, (i - 1) % d) for i in range(d)])
+    return jnp.concatenate([left, x, right], axis=1)
+
+
+# ---------------------------------------------------------------------- #
+# host-side data preparation
+
+
+def spatial_sort(z, pos, cell=None, extra=None, n_shards=1):
+    '''Sort atoms of each graph along x for slab decomposition (numpy).
+
+    Periodic graphs sort on fractional x (so skewed cells still decompose
+    into lattice-aligned slabs); padding atoms (z == 0) sort to the end.
+    Pads the atom axis to a multiple of n_shards.
+
+    Args:
+        z: (B, N) int; pos: (B, N, 3); cell: (B, 3, 3) or None;
+        extra: optional dict of (B, N, ...) per-atom arrays to permute
+            alongside (e.g. force labels).
+
+    Returns:
+        (z_sorted, pos_sorted, extra_sorted) with N padded to a multiple
+        of n_shards.
+    '''
+    z = np.asarray(z)
+    pos = np.asarray(pos)
+    B, N = z.shape
+    extra = {k: np.asarray(v) for k, v in (extra or {}).items()}
+
+    keys = np.empty((B, N))
+    for b in range(B):
+        x = pos[b, :, 0]
+        if cell is not None and np.any(cell[b] != 0):
+            frac = np.linalg.solve(np.asarray(cell[b]).T, pos[b].T).T
+            x = frac[:, 0] % 1.0
+        keys[b] = np.where(z[b] > 0, x, np.inf)  # padding last
+    order = np.argsort(keys, axis=1, kind='stable')
+
+    take = np.take_along_axis
+    z_s = take(z, order, axis=1)
+    pos_s = take(pos, order[..., None], axis=1)
+    extra_s = {k: take(v, order.reshape(order.shape + (1,) * (v.ndim - 2)),
+                       axis=1)
+               for k, v in extra.items()}
+
+    pad = (-N) % n_shards
+    if pad:
+        z_s = np.pad(z_s, ((0, 0), (0, pad)))
+        pos_s = np.pad(pos_s, ((0, 0), (0, pad), (0, 0)))
+        extra_s = {k: np.pad(v, ((0, 0), (0, pad)) + ((0, 0),) * (v.ndim - 2))
+                   for k, v in extra_s.items()}
+    return z_s, pos_s, extra_s
+
+
+def check_halo_capacity(z, pos, cell, n_shards, n_halo, cutoff):
+    '''Validate the slab decomposition for sorted positions (numpy).
+
+    For every shard boundary, every real atom within `cutoff` (along the
+    sort coordinate) of the boundary must fall inside the adjacent n_halo
+    block. Returns the number of violating atoms (0 = safe); also counts
+    slabs narrower than the cutoff (which would need next-nearest-shard
+    communication that the ring exchange does not provide).
+    '''
+    z = np.asarray(z)
+    pos = np.asarray(pos)
+    B, N = z.shape
+    assert N % n_shards == 0
+    n_loc = N // n_shards
+    violations = 0
+    for b in range(B):
+        x = pos[b, :, 0].astype(float)
+        periodic = cell is not None and np.any(np.asarray(cell[b]) != 0)
+        width = None
+        if periodic:
+            frac = np.linalg.solve(np.asarray(cell[b]).T, pos[b].T).T
+            x = frac[:, 0] % 1.0
+            width = cutoff / np.linalg.norm(cell[b][0])  # fractional cutoff
+        else:
+            width = cutoff
+        real = z[b] > 0
+        for s in range(n_shards):
+            lo, hi = s * n_loc, (s + 1) * n_loc
+            own = np.arange(lo, hi)
+            own_real = own[real[lo:hi]]
+            if own_real.size == 0:
+                continue
+            x_lo, x_hi = x[own_real].min(), x[own_real].max()
+            if x_hi - x_lo < width and n_shards > 2:
+                violations += 1  # slab narrower than the cutoff
+            # atoms near the left boundary must lie in the first n_halo slots
+            near_left = own_real[x[own_real] < x_lo + width]
+            violations += int(np.sum(near_left >= lo + n_halo))
+            near_right = own_real[x[own_real] > x_hi - width]
+            violations += int(np.sum(near_right < hi - n_halo))
+    return violations
+
+
+# ---------------------------------------------------------------------- #
+# sharded model functions
+
+
+def _halo_core(model, graph_axis, n_halo):
+    if model.graph_mode != 'neighborlist':
+        raise ValueError("halo exchange requires graph_mode='neighborlist' "
+                         "(use parallel/graph_parallel.py for the dense "
+                         "all-gather path)")
+    return model.core.clone(shard_axis=graph_axis, halo=n_halo)
+
+
+def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
+                              graph_axis='graph'):
+    '''Jitted (params, z, pos, cell) -> (energy (B,), forces (B, N, 3))
+    with the batch sharded over `data_axis` and atoms (pre-sorted with
+    spatial_sort) over `graph_axis` with halo exchange.
+    '''
+    core = _halo_core(model, graph_axis, n_halo)
+
+    def local_fn(params, z, pos, cell):
+        atom_mask = z > 0
+
+        def local_energy(pos):
+            out = core.apply(params, z, pos, cell)
+            e_local = jnp.sum(out['atomic_energy'][..., 0]
+                              * atom_mask.astype(pos.dtype), axis=-1)
+            # differentiate the LOCAL energy sum; the halo ppermutes
+            # transpose to reverse ppermutes that deliver cross-shard
+            # dE_other/dpos_mine terms (see graph_parallel.py for the
+            # double-counting rationale)
+            return jnp.sum(e_local), e_local
+
+        (_, e_local), pos_grad = jax.value_and_grad(
+            local_energy, has_aux=True)(pos)
+        energy = jax.lax.psum(e_local, graph_axis)
+        return energy, -pos_grad
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(data_axis, graph_axis),
+                  P(data_axis, graph_axis, None), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis, graph_axis, None)),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_halo_train_step(model, tx, mesh, n_halo,
+                         energy_weight=1.0, force_weight=50.0,
+                         data_axis='data', graph_axis='graph'):
+    '''Jitted sharded training step for the halo-parallel configuration.
+
+    step(params, opt_state, batch) -> (params, opt_state, metrics) where
+    batch = {z (B, N), pos (B, N, 3), cell (B, 3, 3), energy (B,),
+    force (B, N, 3), graph_mask (B,)} is globally sharded (batch over
+    `data_axis`, atoms over `graph_axis`, labels alongside). Loss =
+    energy_weight * mse(E) + force_weight * mse(F) with masked-mean
+    normalization identical to train/loss.py; gradients are psum-reduced
+    over both axes and the optax update runs replicated.
+
+    The energy mse term is formed as a local surrogate
+    sum(stop_grad(residual) * e_local): its gradient psum-accumulates to
+    exactly d/dtheta sum (E_pred - E)^2 without differentiating through
+    the cross-shard psum (whose legacy transpose would double-count).
+    '''
+    core = _halo_core(model, graph_axis, n_halo)
+
+    def local_grads(params, batch):
+        z, pos, cell = batch['z'], batch['pos'], batch['cell']
+        gmask = batch['graph_mask'].astype(pos.dtype)  # (B_loc,)
+        atom_mask = (z > 0) & batch['graph_mask'][:, None]
+        fmask = atom_mask.astype(pos.dtype)[..., None]
+
+        n_graphs = jax.lax.psum(jnp.sum(gmask), data_axis)
+        n_force = 3.0 * jax.lax.psum(jnp.sum(fmask), (data_axis, graph_axis))
+
+        def loss_fn(p):
+            def local_energy(pos):
+                out = core.apply(p, z, pos, cell)
+                e_local = jnp.sum(out['atomic_energy'][..., 0]
+                                  * atom_mask.astype(pos.dtype), axis=-1)
+                return jnp.sum(e_local), e_local
+
+            (_, e_local), pos_grad = jax.value_and_grad(
+                local_energy, has_aux=True)(pos)
+            forces = -pos_grad
+
+            e_pred = jax.lax.psum(e_local, graph_axis)  # (B_loc,)
+            resid = 2.0 * gmask * (e_pred - batch['energy']) / n_graphs
+            # exact d(mse_E)/dtheta via the local surrogate (see docstring)
+            e_term = jnp.sum(jax.lax.stop_gradient(resid) * e_local)
+
+            f_err = (forces - batch['force']) * fmask
+            f_term = jnp.sum(f_err * f_err) / n_force
+
+            loss = energy_weight * e_term + force_weight * f_term
+            aux = {
+                'e_pred': e_pred, 'e_local': e_local,
+                'f_se': jnp.sum(f_err * f_err),
+                'f_ae': jnp.sum(jnp.abs(f_err)),
+            }
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.psum(grads, (data_axis, graph_axis))
+
+        # metrics with global masked-mean normalization (train/loss.py)
+        e_err = (aux['e_pred'] - batch['energy']) * gmask
+        e_mse = jax.lax.psum(jnp.sum(e_err * e_err), data_axis) / n_graphs
+        e_mae = jax.lax.psum(jnp.sum(jnp.abs(e_err)), data_axis) / n_graphs
+        f_mse = jax.lax.psum(aux['f_se'], (data_axis, graph_axis)) / n_force
+        f_mae = jax.lax.psum(aux['f_ae'], (data_axis, graph_axis)) / n_force
+        metrics = {
+            'loss': energy_weight * e_mse + force_weight * f_mse,
+            'energy_mae': e_mae, 'energy_mse': e_mse,
+            'gradient_force_mae': f_mae, 'gradient_force_mse': f_mse,
+        }
+        return grads, metrics
+
+    batch_specs = {
+        'z': P(data_axis, graph_axis),
+        'pos': P(data_axis, graph_axis, None),
+        'cell': P(data_axis),
+        'energy': P(data_axis),
+        'force': P(data_axis, graph_axis, None),
+        'graph_mask': P(data_axis),
+    }
+    sharded_grads = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=(P(), P()),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        grads, metrics = sharded_grads(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return step
+
+
+def shard_halo_batch(batch, mesh, data_axis='data', graph_axis='graph'):
+    '''Device-put a (pre-sorted, padded) global batch with halo shardings.'''
+    from jax.sharding import NamedSharding
+    specs = {
+        'z': P(data_axis, graph_axis),
+        'pos': P(data_axis, graph_axis, None),
+        'cell': P(data_axis),
+        'energy': P(data_axis),
+        'force': P(data_axis, graph_axis, None),
+        'graph_mask': P(data_axis),
+    }
+    return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            if k in specs else v for k, v in batch.items()}

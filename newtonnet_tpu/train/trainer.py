@@ -123,6 +123,7 @@ class Trainer:
             log_wandb=False,
             mesh=None,
             steps_per_call=8,
+            profile_dir=None,
             ):
         self.model = model
         self.params = params
@@ -153,6 +154,9 @@ class Trainer:
         self.log_rows = []
         self.log_wandb = log_wandb
         self.mesh = mesh
+        # observability (SURVEY.md section 5): when set, the second training
+        # epoch (post-compile) is captured with jax.profiler into this dir
+        self.profile_dir = profile_dir
 
         if output_base_path is not None:
             self.make_subdirs(output_base_path, script_path, settings_path)
@@ -204,8 +208,25 @@ class Trainer:
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = {'loss': loss, **self.eval_loss(preds, batch)}
+        if self._edges_enabled:
+            metrics['edges'] = self._count_edges(batch)
         totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
         return params, opt_state, totals
+
+    @property
+    def _edges_enabled(self):
+        return hasattr(self.model, 'cutoff')
+
+    def _count_edges(self, batch):
+        '''On-device edge counter for throughput logging (one cheap O(N^2)
+        distance pass, no feature dimension; skipped above 2048 atoms where
+        the pair tensor would rival the model's own memory).'''
+        if batch['z'].shape[-1] > 2048:
+            return jax.numpy.zeros((), jax.numpy.float32)
+        from newtonnet_tpu.ops.neighbors import dense_graph
+        _, adj = dense_graph(batch['pos'], batch['cell'], batch['z'] > 0,
+                             self.model.cutoff)
+        return jax.numpy.sum(adj).astype(jax.numpy.float32)
 
     def _eval_step_body(self, params, totals, batch):
         preds = self.model.apply(params, batch['z'], batch['pos'],
@@ -418,15 +439,29 @@ class Trainer:
                              'lr': get_learning_rate(self.opt_state)}
 
             t_epoch = _time.perf_counter()
+            profiling = (self.profile_dir is not None
+                         and epoch == self.start_epoch + 1)
+            if profiling:
+                # second epoch: past compilation, representative steady state
+                jax.profiler.start_trace(self.profile_dir)
             train_log = self.run_one_epoch(self.train_generator, step=True)
+            if profiling:
+                jax.profiler.stop_trace()
+                print(f'profiler trace written to {self.profile_dir}')
             epoch_seconds = _time.perf_counter() - t_epoch
             step += len(self.train_generator)
             log_one_epoch['step'] = step
+            n_batches = len(self.train_generator)
+            edges_mean = train_log.pop('edges', None)
             log_one_epoch |= {f'train_{k}': v for k, v in train_log.items()}
             # observability: wall time + throughput (SURVEY.md section 5)
             log_one_epoch['epoch_seconds'] = round(epoch_seconds, 4)
             log_one_epoch['steps_per_s'] = round(
-                len(self.train_generator) / max(epoch_seconds, 1e-9), 3)
+                n_batches / max(epoch_seconds, 1e-9), 3)
+            if edges_mean:
+                # edges/s: the BASELINE.json per-chip throughput metric
+                log_one_epoch['edges_per_s'] = round(
+                    edges_mean * n_batches / max(epoch_seconds, 1e-9), 1)
 
             if epoch % self.check_val == 0 and self.val_generator is not None:
                 val_log = self.run_one_epoch(self.val_generator, step=False)
@@ -507,6 +542,8 @@ class Trainer:
         import numpy as np
 
         metric_names = ['loss'] + self._eval_metric_names()
+        if step and self._edges_enabled:
+            metric_names = metric_names + ['edges']
         totals = {k: jax.numpy.zeros((), jax.numpy.float32)
                   for k in metric_names}
         n = 0

@@ -1,0 +1,202 @@
+'''Halo-exchange graph parallelism (parallel/halo.py).
+
+Parity targets: the halo-sharded forward/backward must equal the
+single-device dense-graph model to numerical precision, for aperiodic and
+periodic systems, including a full training step; communication must be
+boundary-block sized (ppermute payloads of n_halo atoms, never the global
+atom count).
+'''
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonnet_tpu.models import NewtonNet
+from newtonnet_tpu.parallel import make_mesh
+from newtonnet_tpu.parallel.halo import (
+    check_halo_capacity,
+    exchange_halo,
+    make_halo_energy_force_fn,
+    make_halo_train_step,
+    shard_halo_batch,
+    spatial_sort,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+CUTOFF = 3.0
+
+
+def _gas(B, N, box, seed, periodic):
+    '''Random atom gas, sorted for slab decomposition.'''
+    rs = np.random.RandomState(seed)
+    z = rs.choice([1, 6, 8], size=(B, N)).astype(np.int32)
+    pos = rs.rand(B, N, 3) * np.asarray(box)
+    if periodic:
+        cell = np.broadcast_to(np.diag(box), (B, 3, 3)).astype(float).copy()
+    else:
+        cell = np.zeros((B, 3, 3))
+    force = rs.randn(B, N, 3)
+    energy = rs.randn(B)
+    z, pos, extra = spatial_sort(z, pos, cell if periodic else None,
+                                 extra={'force': force}, n_shards=4)
+    return {'z': z, 'pos': pos, 'cell': cell, 'energy': energy,
+            'force': extra['force'], 'graph_mask': np.ones(B, bool)}
+
+
+def _params_for(model, batch, rng):
+    return model.init(rng, jnp.asarray(batch['z']),
+                      jnp.asarray(batch['pos']), jnp.asarray(batch['cell']))
+
+
+@pytest.mark.parametrize('periodic', [False, True])
+def test_halo_energy_force_parity(periodic, rng):
+    B, N = 2, 48
+    box = [48.0, 6.0, 6.0]
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, box, seed=0, periodic=periodic)
+    assert check_halo_capacity(batch['z'], batch['pos'],
+                               batch['cell'] if periodic else None,
+                               n_shards, n_halo, CUTOFF) == 0
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force'])
+    params = _params_for(dense, batch, rng)
+    ref = dense.apply(params, jnp.asarray(batch['z']),
+                      jnp.asarray(batch['pos']), jnp.asarray(batch['cell']))
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    fn = make_halo_energy_force_fn(nl_model, mesh, n_halo)
+    sb = shard_halo_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    energy, forces = fn(params, sb['z'], sb['pos'], sb['cell'])
+
+    np.testing.assert_allclose(np.asarray(energy), np.asarray(ref['energy']),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(forces),
+                               np.asarray(ref['gradient_force']),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_halo_train_step_parity(rng):
+    '''One halo-sharded train step == the same step on one device.'''
+    import optax
+
+    B, N = 2, 48
+    box = [48.0, 6.0, 6.0]
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, box, seed=1, periodic=True)
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force'])
+    params = _params_for(dense, batch, rng)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # single-device reference step with identical loss semantics
+    def ref_loss(p):
+        out = dense.apply(p, jb['z'], jb['pos'], jb['cell'])
+        gmask = jb['graph_mask'].astype(jb['pos'].dtype)
+        amask = ((jb['z'] > 0) & jb['graph_mask'][:, None]).astype(
+            jb['pos'].dtype)[..., None]
+        e_err = (out['energy'] - jb['energy']) * gmask
+        f_err = (out['gradient_force'] - jb['force']) * amask
+        e_mse = jnp.sum(e_err ** 2) / jnp.sum(gmask)
+        f_mse = jnp.sum(f_err ** 2) / (3 * jnp.sum(amask))
+        return 1.0 * e_mse + 50.0 * f_mse
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
+    updates, _ = tx.update(grads_ref, opt_state, params)
+    params_ref = optax.apply_updates(params, updates)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    step = make_halo_train_step(nl_model, tx, mesh, n_halo,
+                                energy_weight=1.0, force_weight=50.0)
+    sb = shard_halo_batch(jb, mesh)
+    params_halo, _, metrics = step(
+        jax.tree.map(jnp.array, params), tx.init(params), sb)
+
+    np.testing.assert_allclose(float(metrics['loss']), float(loss_ref),
+                               rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(params_halo)):
+        # fp32 params; adam's rsqrt amplifies reduction-order noise of the
+        # psum tree vs the single-device sum
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=1e-7)
+
+
+def test_halo_comm_is_boundary_sized():
+    '''Every ppermute in the halo program moves n_halo-atom blocks, never
+    the full (sharded or global) atom axis.'''
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    n_loc = N // n_shards
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=2, periodic=False)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    params = nl_model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch['z']), jnp.asarray(batch['pos']),
+                           jnp.asarray(batch['cell']))
+    fn = make_halo_energy_force_fn(nl_model, mesh, n_halo)
+    jaxpr = jax.make_jaxpr(
+        lambda p, z, pos, cell: fn(p, z, pos, cell))(
+            params, jnp.asarray(batch['z']), jnp.asarray(batch['pos']),
+            jnp.asarray(batch['cell']))
+    text = str(jaxpr)
+    assert 'ppermute' in text
+    import re
+    for m in re.finditer(r'ppermute\[[^\]]*\] ([a-z]+):[a-z0-9]+\[([0-9,]+)\]',
+                         text):
+        shape = tuple(int(s) for s in m.group(2).split(','))
+        assert shape[1] == n_halo, f'oversized ppermute payload {shape}'
+        assert shape[1] < n_loc, shape
+
+
+def test_exchange_halo_roundtrip():
+    '''exchange_halo places ring neighbors' boundary blocks correctly.'''
+    from functools import partial
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=1, graph=4)
+    N, H = 16, 2
+    x = jnp.arange(N, dtype=jnp.float32)[None, :]  # (1, 16), 4 per shard
+
+    f = shard_map(partial(exchange_halo, n_halo=H, axis_name='graph'),
+                  mesh=mesh, in_specs=P(None, 'graph'),
+                  out_specs=P(None, 'graph'), check_vma=False)
+    out = np.asarray(f(x)).reshape(4, -1)  # per-shard extended rows
+    # shard 1 owns [4..7]; left halo = shard 0's last H = [2, 3],
+    # right halo = shard 2's first H = [8, 9]
+    np.testing.assert_array_equal(out[1], [2, 3, 4, 5, 6, 7, 8, 9])
+    # ring wrap: shard 0's left halo is shard 3's last block
+    np.testing.assert_array_equal(out[0], [14, 15, 0, 1, 2, 3, 4, 5])
+
+
+def test_check_halo_capacity_flags_undersized():
+    batch = _gas(2, 48, [48.0, 6.0, 6.0], seed=3, periodic=False)
+    assert check_halo_capacity(batch['z'], batch['pos'], None, 4, 8,
+                               CUTOFF) == 0
+    # a 1-atom halo cannot cover a 3 Angstrom boundary layer of a dense gas
+    assert check_halo_capacity(batch['z'], batch['pos'], None, 4, 1,
+                               CUTOFF) > 0

@@ -1,0 +1,279 @@
+#!/usr/bin/env python
+'''Scaling harness: train-step edges/s vs device count (BASELINE.md target:
+>= 80% parallel efficiency from 1 host to N hosts).
+
+Measures the two distribution modes on whatever devices exist:
+
+  * dp:   data parallelism -- weak scaling with a fixed per-device batch of
+          molecules (the Trainer's mesh path; gradient psum over ICI/DCN);
+  * halo: graph parallelism -- weak scaling of one large periodic gas with
+          atoms sharded over the graph axis and boundary-block halo
+          exchange (parallel/halo.py sharded train step).
+
+On a TPU pod, run unchanged (one process per host; jax.distributed is
+initialized via parallel/distributed.py, a no-op in single-process runs).
+Without hardware, `--platform cpu --devices 8` uses virtual CPU devices --
+absolute numbers are meaningless there, but the efficiency curve and the
+methodology are identical.
+
+Writes a markdown report (--out SCALING.md) and prints one JSON line per
+measurement. Timing protocol per PERF_NOTES.md: one device->host fetch
+poisons the stream before any timed region, and each timed region executes
+`--steps` full train steps back-to-back with a final block_until_ready.
+'''
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--devices', type=int, default=0,
+                   help='virtual CPU device count (0 = use real devices)')
+    p.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'])
+    p.add_argument('--mode', default='both', choices=['dp', 'halo', 'both'])
+    p.add_argument('--steps', type=int, default=10)
+    p.add_argument('--warmup', type=int, default=2)
+    p.add_argument('--batch-per-device', type=int, default=16)
+    p.add_argument('--atoms-per-device', type=int, default=256)
+    p.add_argument('--out', default=None, help='markdown report path')
+    p.add_argument('--n-features', type=int, default=64)
+    p.add_argument('--n-interactions', type=int, default=3)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.devices:
+        os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                                   + f' --xla_force_host_platform_device_count={args.devices}')
+    import jax
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.parallel import (
+        initialize_distributed,
+        make_global_mesh,
+        make_halo_train_step,
+        process_local_batch_slice,
+        shard_halo_batch,
+        spatial_sort,
+    )
+    from newtonnet_tpu.train import get_loss_by_string
+
+    initialize_distributed()  # no-op single-process; required on pods
+    devices = jax.devices()
+    n_dev = len(devices)
+    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    print(f'# devices: {n_dev} ({devices[0].platform})', file=sys.stderr)
+
+    rows = []
+
+    def poison(x):
+        float(jnp.sum(x))  # force a fetch so subsequent timings are honest
+
+    def timed(fn, *a):
+        out = None
+        for _ in range(args.warmup):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / args.steps, out
+
+    # ---------------- data-parallel weak scaling ---------------- #
+    if args.mode in ('dp', 'both'):
+        from newtonnet_tpu.parallel.mesh import make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        model = NewtonNet(cutoff=5.0, n_features=args.n_features, n_basis=20,
+                          n_interactions=args.n_interactions,
+                          output_properties=['energy', 'gradient_force'])
+        main_loss, _ = get_loss_by_string(
+            {'energy': {}, 'gradient_force': {'weight': 50.0}})
+        tx = optax.adam(1e-3)
+        N = 24
+        base = None
+        for d in counts:
+            B = args.batch_per_device * d
+            rs = np.random.RandomState(0)
+            z = rs.choice([1, 6, 7, 8], size=(B, N)).astype(np.int32)
+            z[:, -3:] = 0
+            pos = (rs.randn(B, N, 3) * 1.8).astype(np.float32)
+            # this process feeds its slice only (exercises the multi-host
+            # data path; trivially the whole batch when single-process)
+            start, size = process_local_batch_slice(B)
+            batch = {'z': jnp.asarray(z), 'pos': jnp.asarray(pos),
+                     'cell': jnp.zeros((B, 3, 3), jnp.float32),
+                     'energy': jnp.zeros((B,), jnp.float32),
+                     'force': jnp.zeros((B, N, 3), jnp.float32),
+                     'graph_mask': jnp.ones((B,), bool)}
+            mesh = make_mesh(data=d, graph=1, devices=devices[:d])
+            repl = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P('data'))
+
+            params = jax.jit(model.init, static_argnums=())(
+                jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                batch['cell'])
+            opt_state = tx.init(params)
+
+            def train_step(params, opt_state, batch):
+                def loss_fn(p):
+                    preds = model.apply(p, batch['z'], batch['pos'],
+                                        batch['cell'])
+                    return main_loss(preds, batch)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            step = jax.jit(train_step,
+                           in_shardings=(repl, repl,
+                                         jax.tree.map(lambda _: bsh, batch)),
+                           out_shardings=(repl, repl, repl),
+                           donate_argnums=(0, 1))
+            batch = jax.device_put(batch, bsh)
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            poison(batch['pos'])
+
+            # count real edges once (cutoff graph on the synthetic batch)
+            from newtonnet_tpu.ops.neighbors import dense_graph
+            _, adj = jax.jit(dense_graph, static_argnums=(3,))(
+                batch['pos'], batch['cell'], batch['z'] > 0, 5.0)
+            edges = int(jnp.sum(adj))
+
+            def run(params, opt_state):
+                p, o, loss = step(params, opt_state, batch)
+                return p, o, loss
+
+            # keep state threading out of the timed closure: donation means
+            # we must re-feed outputs; wrap in a mutable cell
+            state = [params, opt_state]
+
+            def one():
+                state[0], state[1], loss = step(state[0], state[1], batch)
+                return loss
+
+            dt, _ = timed(one)
+            eps = edges / dt
+            if base is None:
+                base = eps
+            eff = eps / (base * d)
+            row = {'mode': 'dp', 'devices': d, 'batch': B,
+                   'edges_per_batch': edges, 'step_ms': round(dt * 1e3, 3),
+                   'edges_per_s': round(eps, 1),
+                   'efficiency_pct': round(100 * eff, 1)}
+            rows.append(row)
+            print(json.dumps(row))
+
+    # ---------------- halo graph-parallel weak scaling ---------------- #
+    if args.mode in ('halo', 'both'):
+        halo_counts = [d for d in counts if d >= 2]
+        base = None
+        for d in halo_counts:
+            N = args.atoms_per_device * d
+            # periodic gas at liquid-ish density, elongated along x
+            Lx = 3.0 * N / 256 * 16.0
+            box = np.asarray([Lx, 12.0, 12.0])
+            rs = np.random.RandomState(0)
+            z = rs.choice([1, 6, 8], size=(1, N)).astype(np.int32)
+            pos = rs.rand(1, N, 3) * box
+            force = rs.randn(1, N, 3).astype(np.float32)
+            cell = np.broadcast_to(np.diag(box), (1, 3, 3)).astype(np.float32)
+            z, pos, extra = spatial_sort(z, pos, cell,
+                                         extra={'force': force}, n_shards=d)
+            n_halo = max(32, int(2.2 * args.atoms_per_device
+                                 * 5.0 / (Lx / d)))
+            model = NewtonNet(cutoff=5.0, n_features=args.n_features,
+                              n_basis=20,
+                              n_interactions=args.n_interactions,
+                              graph_mode='neighborlist', k_max=40,
+                              output_properties=['energy', 'gradient_force'])
+            mesh = make_global_mesh(data=1, graph=d)
+            tx = optax.adam(1e-3)
+            batch = {'z': jnp.asarray(z),
+                     'pos': jnp.asarray(pos, jnp.float32),
+                     'cell': jnp.asarray(cell),
+                     'energy': jnp.zeros((1,), jnp.float32),
+                     'force': jnp.asarray(extra['force']),
+                     'graph_mask': jnp.ones((1,), bool)}
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), batch['z'],
+                                         batch['pos'], batch['cell'])
+            step = make_halo_train_step(model, tx, mesh, n_halo=n_halo)
+            batch = shard_halo_batch(batch, mesh)
+            poison(batch['pos'])
+
+            state = [params, tx.init(params)]
+
+            def one():
+                state[0], state[1], m = step(state[0], state[1], batch)
+                return m['loss']
+
+            dt, _ = timed(one)
+            # edge count from the plain neighbor list (same graph)
+            from newtonnet_tpu.ops.nlist import neighbor_list
+            _, kmask, _, _ = jax.jit(
+                neighbor_list, static_argnums=(3, 4))(
+                batch['pos'], batch['cell'],
+                batch['z'] > 0, 5.0, 40)
+            edges = int(jnp.sum(kmask))
+            eps = edges / dt
+            if base is None:
+                base = eps / d  # per-device baseline from smallest run
+            eff = eps / (base * d)
+            row = {'mode': 'halo', 'devices': d, 'atoms': N, 'n_halo': n_halo,
+                   'edges_per_batch': edges, 'step_ms': round(dt * 1e3, 3),
+                   'edges_per_s': round(eps, 1),
+                   'efficiency_pct': round(100 * eff, 1)}
+            rows.append(row)
+            print(json.dumps(row))
+
+    if args.out:
+        plat = devices[0].platform
+        with open(args.out, 'w') as f:
+            f.write('# Scaling (train-step edges/s vs device count)\n\n')
+            f.write(f'Harness: `tools/bench_scaling.py` -- weak scaling, '
+                    f'{args.steps} timed steps, platform `{plat}`, '
+                    f'{n_dev} devices.\n\n')
+            f.write('Efficiency = edges/s divided by (devices x single-'
+                    'device edges/s) for dp, and by devices x the per-'
+                    'device rate of the smallest halo run for halo. '
+                    'Target (BASELINE.md): >= 80%.\n\n')
+            if plat == 'cpu':
+                f.write('**Caveat (virtual CPU devices):** all virtual '
+                        'devices share one host\'s physical cores, so '
+                        'weak-scaled work grows while hardware does not; '
+                        'the curves measure the sharded program\'s '
+                        'correctness and communication overhead, not chip '
+                        'speedup. They are meaningful only while the host '
+                        'still has idle cores (keep per-device sizes '
+                        'small); real efficiency numbers require real '
+                        'chips, where this exact command applies '
+                        'unchanged.\n\n')
+            f.write('| mode | devices | problem size | step ms | edges/s |'
+                    ' efficiency |\n|---|---|---|---|---|---|\n')
+            for r in rows:
+                size = (f"B={r['batch']}" if r['mode'] == 'dp'
+                        else f"N={r['atoms']} (H={r['n_halo']})")
+                f.write(f"| {r['mode']} | {r['devices']} | {size} | "
+                        f"{r['step_ms']} | {r['edges_per_s']:.3g} | "
+                        f"{r['efficiency_pct']}% |\n")
+            f.write('\nOn real multi-host TPU hardware run the identical '
+                    'command per host (jax.distributed picks up pod '
+                    'topology; the data feed already slices per process '
+                    'via parallel/distributed.py).\n')
+        print(f'wrote {args.out}', file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()
