@@ -22,6 +22,19 @@ interactions", npj Comput. Mater. 2025; arXiv:2408.15165):
 
 All sums are over static padded shapes with masks; the reciprocal-space sum
 is a dense (K, N) matmul pair that maps straight onto the MXU.
+
+Conventions (validated in tests/test_ewald.py against an independent fp64
+textbook-Ewald oracle on orthorhombic and triclinic cells, rtol 1e-10):
+
+  * sigma is the PAIR-COMBINED Gaussian smearing width: the aperiodic
+    kernel is erf(r / (sqrt(2) sigma)) / r, i.e. each charge carries a
+    Gaussian of std sigma/sqrt(2);
+  * the periodic E_lr is the bare reciprocal sum -- it RETAINS the
+    Gaussian self-energy sum_i q_i^2 / (sqrt(2 pi) sigma), exactly as the
+    published les method defines E_lr (no self-energy subtraction; the
+    learned latent charges absorb it during training):
+      E_lr = E_smeared_total + (1/2) sqrt(2/pi) / sigma * sum_i q_i^2;
+  * neutral-cell tinfoil boundary (no k=0 term).
 '''
 import jax
 import jax.numpy as jnp

@@ -160,3 +160,143 @@ def test_static_mode_matches_auto():
         rtol=1e-12)
     with pytest.raises(ValueError):
         ewald_energy(q, pos, cell, mask, mode='bogus')
+
+
+# ---------------------------------------------------------------------- #
+# Independent fp64 full-Ewald oracle (VERDICT round-1 item 6).
+#
+# The LES long-range energy (les paper arXiv:2408.15165, eq. for E_lr; the
+# reference delegates to the les package at newtonnet/models/output.py:
+# 210-223) is the bare reciprocal-space sum over Gaussian-smeared charges:
+#     E_lr = (2 pi / V) sum_{k != 0} exp(-sigma^2 k^2 / 2)/k^2 |S(k)|^2.
+# Physics identity: for a neutral cell this equals the total Coulomb energy
+# of Gaussian charge distributions (pair-combined width sigma) PLUS the
+# Gaussian self-energy  sum_i q_i^2 / (sqrt(2 pi) sigma):
+#     E_lr = E_smeared + sum q_i^2 * 1/(sqrt(2 pi) sigma) * ... (1/2 * sqrt(2/pi))
+# The oracle below computes E_smeared completely independently via textbook
+# point-charge Ewald (real erfc sum over image shells + reciprocal + self,
+# free parameter eta) minus the absolutely-convergent short-range
+# complement sum of erfc(r / (sqrt(2) sigma))/r. Agreement validates the
+# 2 pi/V prefactor, the sigma convention (pair-combined smearing), and the
+# self-energy convention (E_lr keeps it, matching the les paper) at once.
+
+
+def _image_shifts(cell, n_im):
+    r = np.arange(-n_im, n_im + 1)
+    sx, sy, sz = np.meshgrid(r, r, r, indexing='ij')
+    shifts = np.stack([sx.ravel(), sy.ravel(), sz.ravel()], -1)
+    return shifts @ cell  # (M, 3) cartesian lattice translations
+
+
+def _pair_sum(q, pos, cell, n_im, kernel):
+    '''1/2 sum_{i,j,L}' q_i q_j kernel(|r_ij + L|), excluding i=j at L=0.'''
+    shifts = _image_shifts(cell, n_im)
+    total = 0.0
+    n = len(q)
+    for L in shifts:
+        d = pos[:, None, :] - pos[None, :, :] + L  # (n, n, 3)
+        r = np.linalg.norm(d, axis=-1)
+        if np.allclose(L, 0.0):
+            np.fill_diagonal(r, np.inf)
+        total += 0.5 * np.sum(q[:, None] * q[None, :] * kernel(r))
+    return total
+
+
+def _ewald_point_oracle(q, pos, cell, eta=0.8, n_im=3, n_k=14):
+    '''Textbook Ewald total Coulomb energy of point charges (neutral cell,
+    tinfoil boundary): real + reciprocal + self.'''
+    from scipy.special import erfc
+    real = _pair_sum(q, pos, cell, n_im, lambda r: erfc(eta * r) / r)
+    vol = abs(np.linalg.det(cell))
+    recip_vecs = 2 * np.pi * np.linalg.inv(cell).T
+    r = np.arange(-n_k, n_k + 1)
+    kx, ky, kz = np.meshgrid(r, r, r, indexing='ij')
+    kint = np.stack([kx.ravel(), ky.ravel(), kz.ravel()], -1)
+    kint = kint[np.any(kint != 0, axis=1)]
+    kvec = kint @ recip_vecs
+    k2 = np.sum(kvec * kvec, axis=1)
+    phase = kvec @ pos.T  # (M, n)
+    s2 = (np.cos(phase) @ q) ** 2 + (np.sin(phase) @ q) ** 2
+    recip = (2 * np.pi / vol) * np.sum(np.exp(-k2 / (4 * eta ** 2)) / k2 * s2)
+    self_e = -eta / np.sqrt(np.pi) * np.sum(q * q)
+    return real + recip + self_e
+
+
+def test_periodic_matches_independent_ewald_oracle():
+    from scipy.special import erfc
+    rs = np.random.RandomState(7)
+    n, sigma = 6, 1.0
+    cell = np.diag([6.3, 5.7, 6.9])
+    pos = rs.rand(n, 3) @ cell
+    q = rs.randn(n)
+    q -= q.mean()  # neutral cell
+
+    e_point = _ewald_point_oracle(q, pos, cell)
+    # short-range complement of the smeared interaction (abs. convergent)
+    e_sr = _pair_sum(q, pos, cell, 3,
+                     lambda r: erfc(r / (np.sqrt(2) * sigma)) / r)
+    # Gaussian self-energy retained by the les E_lr convention
+    e_self = np.sum(q * q) * 0.5 * np.sqrt(2.0 / np.pi) / sigma
+    e_expected = e_point - e_sr + e_self
+
+    e_repo = ewald_energy_periodic(
+        jnp.asarray(q, F64)[None], jnp.asarray(pos, F64)[None],
+        jnp.asarray(cell, F64)[None], jnp.ones((1, n), bool),
+        sigma=sigma, n_k=10)
+    np.testing.assert_allclose(float(e_repo[0]), e_expected, rtol=1e-10)
+
+
+def test_periodic_oracle_triclinic():
+    '''Same identity on a skewed (triclinic) cell.'''
+    from scipy.special import erfc
+    rs = np.random.RandomState(8)
+    n, sigma = 5, 0.9
+    cell = np.array([[6.5, 0.0, 0.0],
+                     [1.2, 6.1, 0.0],
+                     [-0.8, 0.9, 6.8]])
+    pos = rs.rand(n, 3) @ cell
+    q = rs.randn(n)
+    q -= q.mean()
+
+    e_point = _ewald_point_oracle(q, pos, cell, eta=0.9, n_im=3, n_k=16)
+    e_sr = _pair_sum(q, pos, cell, 3,
+                     lambda r: erfc(r / (np.sqrt(2) * sigma)) / r)
+    e_self = np.sum(q * q) * 0.5 * np.sqrt(2.0 / np.pi) / sigma
+    e_expected = e_point - e_sr + e_self
+
+    e_repo = ewald_energy_periodic(
+        jnp.asarray(q, F64)[None], jnp.asarray(pos, F64)[None],
+        jnp.asarray(cell, F64)[None], jnp.ones((1, n), bool),
+        sigma=sigma, n_k=12)
+    np.testing.assert_allclose(float(e_repo[0]), e_expected, rtol=1e-9)
+
+
+def test_bec_under_pbc_finite_difference(rng):
+    '''BEC with a periodic cell: Z*_{i,ab} = dP_a/dr_{i,b} where P uses the
+    model's latent charges evaluated with MIC graph construction -- the
+    charge jacobian must include the periodic-image edge terms.'''
+    from newtonnet_tpu.models import NewtonNet
+    rs = np.random.RandomState(9)
+    n = 5
+    cell_np = np.diag([5.5, 6.0, 5.8])
+    z = jnp.asarray(rs.choice([1, 8], size=(1, n)), jnp.int32)
+    pos = jnp.asarray(rs.rand(1, n, 3) @ cell_np, F64)
+    cell = jnp.asarray(cell_np, F64)[None]
+    model = NewtonNet(cutoff=4.0, n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['charge', 'bec'], param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    out = model.apply(params, z, pos, cell)
+    bec = np.asarray(out['bec'][0])
+
+    def polarization(p):
+        o = model.apply(params, z, jnp.asarray(p), cell)
+        return np.asarray(o['charge'][0]) @ np.asarray(p[0])
+
+    eps = 1e-6
+    for (i, b) in [(0, 0), (3, 2)]:
+        pp = np.asarray(pos).copy()
+        pp[0, i, b] += eps
+        pm = np.asarray(pos).copy()
+        pm[0, i, b] -= eps
+        fd = (polarization(pp) - polarization(pm)) / (2 * eps)
+        np.testing.assert_allclose(bec[i, :, b], fd, rtol=1e-5, atol=1e-7)
