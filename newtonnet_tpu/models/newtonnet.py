@@ -201,23 +201,30 @@ class InteractionNet(nn.Module):
         atom_node = atom_node + jnp.sum(message, axis=2)
 
         # The equivariant contractions sum over neighbors j with a 3-wide
-        # free axis; as einsum/dot_general XLA lowers them to thousands of
-        # tiny (J, F)x(J, 3) matmuls with terrible MXU utilization. The
-        # broadcast-multiply-then-sum form stays on the VPU and is several
-        # times faster (see tools/ablate_step.py); NEWTONNET_EINSUM_IMPL=dot
-        # restores the dot_general form for comparison.
+        # free axis. Three formulations (NEWTONNET_EINSUM_IMPL):
+        #   'unroll' (default): unroll the 3-wide Cartesian axis into three
+        #       fused multiply-reduce ops over (B, N, J, F) tiles -- never
+        #       materializes the 5D (B, N, J, 3, F) tensor, whose HBM
+        #       write+read traffic dominated the step (PERF_NOTES.md).
+        #   'bcast': the broadcast-multiply-then-sum 5D form.
+        #   'dot': einsum/dot_general -- lowers to thousands of tiny
+        #       (J, F)x(J, 3) matmuls with terrible MXU utilization.
         import os as _os
-        use_dot = _os.environ.get('NEWTONNET_EINSUM_IMPL') == 'dot'
+        impl = _os.environ.get('NEWTONNET_EINSUM_IMPL', 'unroll')
 
         # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
         phi1 = MLP([f, f], self.activation, use_bias=False,
                    param_dtype=self.param_dtype,
                    name='equiv_message1')(message) * w
-        if use_dot:
+        if impl == 'dot':
             equiv1 = jnp.einsum('bijf,bijd->bidf', phi1, edges.dir)
-        else:
+        elif impl == 'bcast':
             equiv1 = jnp.sum(phi1[:, :, :, None, :]
                              * edges.dir[..., None], axis=2)
+        else:
+            equiv1 = jnp.stack(
+                [jnp.sum(phi1 * edges.dir[..., d:d + 1], axis=2)
+                 for d in range(3)], axis=2)
 
         # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
         phi2 = MLP([f, f], self.activation, use_bias=False,
@@ -225,17 +232,29 @@ class InteractionNet(nn.Module):
                    name='equiv_message2')(message) * w
         if dense:
             force_all = gather_cols(force_node)
-            if use_dot:
+            if impl == 'dot':
                 equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_all)
-            else:
+            elif impl == 'bcast':
                 equiv2 = jnp.sum(phi2[:, :, :, None, :]
                                  * force_all[:, None], axis=2)
-        else:
-            force_j = gather_j(force_node)  # (B, N, K, 3, F)
-            if use_dot:
-                equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
             else:
+                equiv2 = jnp.stack(
+                    [jnp.sum(phi2 * force_all[:, None, :, d, :], axis=2)
+                     for d in range(3)], axis=2)
+        else:
+            if impl == 'dot':
+                force_j = gather_j(force_node)  # (B, N, K, 3, F)
+                equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
+            elif impl == 'bcast':
+                force_j = gather_j(force_node)
                 equiv2 = jnp.sum(phi2[:, :, :, None, :] * force_j, axis=2)
+            else:
+                # three (B, N, K, F) gathers instead of one 5D gather:
+                # smaller intermediates and a fusable multiply-reduce
+                equiv2 = jnp.stack(
+                    [jnp.sum(phi2 * gather_j(force_node[:, :, d, :]),
+                             axis=2)
+                     for d in range(3)], axis=2)
 
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
         force_node = force_node + equiv1 + equiv2
