@@ -64,12 +64,26 @@ class NewtonNet:
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             ewald_mode: str = 'auto',
+            kernel: str = 'xla',
+            pallas_dot_dtype: str = 'float32',
             param_dtype=jnp.float32,
     ):
         for key in output_properties:
             if key not in ALL_PROPERTIES:
                 raise NotImplementedError(
                     f'Output type {key} is not implemented yet')
+        if kernel not in ('xla', 'pallas'):
+            raise ValueError(f'kernel must be xla or pallas, got {kernel}')
+        if kernel == 'pallas':
+            allowed = {'energy', 'gradient_force', 'virial', 'stress'}
+            bad = set(output_properties) - allowed
+            if (bad or graph_mode != 'dense' or activation != 'swish'
+                    or layer_norm or compute_dtype):
+                raise ValueError(
+                    'kernel=pallas supports the dense graph mode with swish '
+                    'activation, no layer_norm/compute_dtype, and outputs '
+                    f'within {sorted(allowed)}; offending config: '
+                    f'{sorted(bad) or [graph_mode, activation]}')
         self.output_properties = list(output_properties)
         self.cutoff = cutoff
         self.n_features = n_features
@@ -85,6 +99,8 @@ class NewtonNet:
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.ewald_mode = ewald_mode
+        self.kernel = kernel
+        self.pallas_dot_dtype = pallas_dot_dtype
         self.param_dtype = param_dtype
 
         needs = set(self.output_properties)
@@ -123,7 +139,8 @@ class NewtonNet:
             'k_max': self.k_max, 'reverse_lists': self.reverse_lists,
             'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
-            'ewald_mode': self.ewald_mode,
+            'ewald_mode': self.ewald_mode, 'kernel': self.kernel,
+            'pallas_dot_dtype': self.pallas_dot_dtype,
         }
 
     # ------------------------------------------------------------------ #
@@ -139,7 +156,11 @@ class NewtonNet:
         sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
         pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
         cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
-        out = self.core.apply(params, z, pos_d, cell_d, nlist=nlist)
+        if self.kernel == 'pallas':
+            from newtonnet_tpu.models.pallas_stack import apply_core
+            out = apply_core(params, self, z, pos_d, cell_d)
+        else:
+            out = self.core.apply(params, z, pos_d, cell_d, nlist=nlist)
 
         atom_mask = z > 0
         if 'energy' in self._needs:

@@ -45,7 +45,8 @@ def value_and_grad(model, main_loss, params, batch, nlist=None):
         batch: padded batch dict with z/pos/cell (+targets).
 
     Returns:
-        (loss scalar, grads pytree matching params).
+        (loss scalar, grads pytree matching params, preds dict with the
+        energy/gradient_force predictions for metric evaluation).
     '''
     z, pos, cell = batch['z'], batch['pos'], batch['cell']
     disp = model._identity_displacement(cell)
@@ -63,10 +64,19 @@ def value_and_grad(model, main_loss, params, batch, nlist=None):
     e_bar = jax.lax.stop_gradient(cots['energy'])            # (B,)
     v = jax.lax.stop_gradient(-cots['gradient_force'])       # (B, N, 3)
 
-    def surrogate(p):
-        # e_bar . E + dL/dF . F  ==  e_bar . E + D_v E  with v = -f_bar
-        evec, tangent = jax.jvp(lambda x: energies(p, x), (pos,), (v,))
-        return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
+    if getattr(model, 'kernel', 'xla') == 'pallas':
+        # fused-kernel dual forward (jax.jvp cannot pierce the custom-VJP
+        # pallas ops; the hand-written dual stack is that jvp)
+        from newtonnet_tpu.models.pallas_stack import dual_energy
+
+        def surrogate(p):
+            evec, tangent = dual_energy(p, model, z, pos, cell, v)
+            return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
+    else:
+        def surrogate(p):
+            # e_bar . E + dL/dF . F  ==  e_bar . E + D_v E  with v = -f_bar
+            evec, tangent = jax.jvp(lambda x: energies(p, x), (pos,), (v,))
+            return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
 
     grads = jax.grad(surrogate)(params)
-    return loss, grads
+    return loss, grads, preds

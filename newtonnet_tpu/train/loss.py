@@ -111,6 +111,11 @@ def get_loss_by_string(losses):
     def main_loss(preds, batch):
         return sum(fn(preds, batch) for fn in main)
 
+    # which prediction keys the training loss reads -- lets the trainer
+    # decide whether the first-order fastgrad path (train/fastgrad.py) is
+    # applicable to this loss configuration
+    main_loss.keys = frozenset(losses)
+
     def eval_loss(preds, batch):
         return {name: fn(preds, batch) for name, fn in evals.items()}
 

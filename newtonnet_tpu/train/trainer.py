@@ -124,12 +124,34 @@ class Trainer:
             mesh=None,
             steps_per_call=8,
             profile_dir=None,
+            fast_grad='auto',
             ):
         self.model = model
         self.params = params
         if loss_fns is None:
             loss_fns = get_loss_by_string({'energy': {}})
         self.main_loss, self.eval_loss = loss_fns
+        # first-order reverse-over-forward parameter gradients
+        # (train/fastgrad.py). 'auto' enables it whenever the fused Pallas
+        # kernel path is active (whose custom-VJP ops cannot be
+        # differentiated twice); True forces it for the XLA path too
+        # (exactly equivalent, often faster); False keeps the standard
+        # reverse-over-reverse step.
+        from newtonnet_tpu.train import fastgrad as _fastgrad
+        loss_keys = getattr(self.main_loss, 'keys', None)
+        if fast_grad == 'auto':
+            fast_grad = (getattr(model, 'kernel', 'xla') == 'pallas'
+                         and _fastgrad.supports(loss_keys))
+        if fast_grad and not _fastgrad.supports(loss_keys):
+            raise ValueError(
+                f'fast_grad requires losses within '
+                f'{sorted(_fastgrad.SUPPORTED_KEYS)}, got {loss_keys}')
+        if (getattr(model, 'kernel', 'xla') == 'pallas' and not fast_grad
+                and loss_keys and 'gradient_force' in loss_keys):
+            raise ValueError(
+                'kernel=pallas force training needs fast_grad (the fused '
+                'kernels are first-order); pass fast_grad=True or "auto"')
+        self.fast_grad = bool(fast_grad)
         self.tx = optimizer if optimizer is not None else \
             get_optimizer_by_string('adam', clip_grad=clip_grad)
         self.opt_state = self.tx.init(self.params)
@@ -197,12 +219,17 @@ class Trainer:
         # sync round trip per step, which dominates on tunneled backends).
         # `lr` (traced scalar) is set into the opt state when a per-step
         # scheduler drives the run; None keeps the state's current lr.
-        def loss_fn(p):
-            preds = self.model.apply(p, batch['z'], batch['pos'],
-                                     batch['cell'])
-            return self.main_loss(preds, batch), preds
-        (loss, preds), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        if self.fast_grad:
+            from newtonnet_tpu.train import fastgrad
+            loss, grads, preds = fastgrad.value_and_grad(
+                self.model, self.main_loss, params, batch)
+        else:
+            def loss_fn(p):
+                preds = self.model.apply(p, batch['z'], batch['pos'],
+                                         batch['cell'])
+                return self.main_loss(preds, batch), preds
+            (loss, preds), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
         if lr is not None:
             opt_state = with_learning_rate(opt_state, lr)
         updates, opt_state = self.tx.update(grads, opt_state, params)

@@ -33,9 +33,11 @@ def main():
     ap.add_argument('--dtype', default='')
     ap.add_argument('--steps', type=int, default=30)
     ap.add_argument('--trace', default='')
+    ap.add_argument('--pallas-dtype', default='float32')
     ap.add_argument('--variants', nargs='*',
                     default=['fwd', 'forces', 'train_e', 'train_std',
-                             'train_fast'])
+                             'train_fast', 'train_pallas',
+                             'forces_pallas'])
     args = ap.parse_args()
     enable_cache()
 
@@ -117,11 +119,41 @@ def main():
 
         @jax.jit
         def train_fast(params, opt_state, batch):
-            loss, grads = fastgrad.value_and_grad(model, loss_ef, params,
-                                                  batch)
+            loss, grads, _ = fastgrad.value_and_grad(model, loss_ef, params,
+                                                     batch)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
         fns['train_fast'] = (train_fast, (params, opt_state, batch))
+
+    if 'train_pallas' in args.variants:
+        model, params = make(['energy', 'gradient_force'])
+        pmodel = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
+                           n_interactions=3, kernel='pallas',
+                           pallas_dot_dtype=args.pallas_dtype,
+                           output_properties=['energy', 'gradient_force'])
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_pallas(params, opt_state, batch):
+            loss, grads, _ = fastgrad.value_and_grad(pmodel, loss_ef,
+                                                     params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        fns['train_pallas'] = (train_pallas, (params, opt_state, batch))
+
+    if 'forces_pallas' in args.variants:
+        model, params = make(['energy', 'gradient_force'])
+        pmodel = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
+                           n_interactions=3, kernel='pallas',
+                           pallas_dot_dtype=args.pallas_dtype,
+                           output_properties=['energy', 'gradient_force'])
+
+        @jax.jit
+        def forces_pallas(params, batch):
+            out = pmodel.apply(params, batch['z'], batch['pos'],
+                               batch['cell'])
+            return out['energy'], out['gradient_force']
+        fns['forces_pallas'] = (forces_pallas, (params, batch))
 
     for name, (fn, fargs) in fns.items():
         out = fn(*fargs)
