@@ -69,18 +69,40 @@ def count_edges(batch, cutoff=5.0):
     return int(count(batch['pos'], batch['cell'], batch['z']))
 
 
+def matmul_flops_per_step(B, N, F, R, n_layers):
+    '''Analytic MXU-matmul FLOPs of one fastgrad train step (XLA cost
+    analysis cannot see inside the Pallas custom calls).
+
+    Per pair slot per layer the forward chain does rbf@We (2RF FLOPs) and
+    four FxF matmuls (8F^2). The step runs: primal forward (1x), its
+    reverse for forces (recompute + transposed matmuls + weight grads,
+    ~3x), the dual forward (primal + tangent, 2x) and the dual reverse
+    (~6x) -- ~12x the forward matmul work. Node-level MLPs and the 3-wide
+    equivariant contractions are O(B N F^2) / O(B N^2 F): <5% extra.
+    '''
+    fwd = B * N * N * n_layers * (2 * R * F + 8 * F * F)
+    return 12 * fwd
+
+
+# v5e MXU peak (dense bf16 matmul); fp32 dots run at ~1/4 of this rate,
+# so mfu_pct is reported against the hardware's true speed of light.
+PEAK_FLOPS_BF16 = 197e12
+
+
 def main():
     _enable_compilation_cache()
     import optax
     from newtonnet_tpu.models import NewtonNet
-    from newtonnet_tpu.train import get_loss_by_string, get_optimizer_by_string
+    from newtonnet_tpu.train import (fastgrad, get_loss_by_string,
+                                     get_optimizer_by_string)
 
     batch = {k: jnp.asarray(v) for k, v in load_batch().items()}
     n_edges = count_edges(batch)
 
-    model = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
-                      n_interactions=3,
-                      output_properties=['energy', 'gradient_force'])
+    cfg = dict(cutoff=5.0, n_features=128, n_basis=20, n_interactions=3,
+               output_properties=['energy', 'gradient_force'])
+    model = NewtonNet(**cfg)
+    pmodel = NewtonNet(kernel='pallas', **cfg)
     params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
                         batch['cell'])
     tx = get_optimizer_by_string('adam', clip_grad=1.0, lr=1e-3)
@@ -88,21 +110,25 @@ def main():
     main_loss, _ = get_loss_by_string(
         {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
 
-    @jax.jit
-    def train_step(params, opt_state, batch):
-        def loss_fn(p):
-            preds = model.apply(p, batch['z'], batch['pos'], batch['cell'])
-            return main_loss(preds, batch)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def make_step(m):
+        @jax.jit
+        def train_step(params, opt_state, batch):
+            loss, grads, _ = fastgrad.value_and_grad(m, main_loss, params,
+                                                     batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return train_step
 
+    # parity guard: one fused-kernel step must match the XLA step
+    _, _, loss_x = make_step(model)(params, opt_state, batch)
+    train_step = make_step(pmodel)
     # compile + warmup. The float() fetch also switches the axon-tunneled
     # TPU stream into honest execution: before the first device->host fetch
     # in a process, block_until_ready does not actually block (see
     # PERF_NOTES.md), so timing without it reports fictional numbers.
     params, opt_state, loss = train_step(params, opt_state, batch)
-    _ = float(loss)
+    rel = abs(float(loss) - float(loss_x)) / max(abs(float(loss_x)), 1e-9)
+    assert rel < 1e-3, f'pallas/XLA train-step loss mismatch: {rel}'
 
     t0 = time.perf_counter()
     for _ in range(N_STEPS):
@@ -111,6 +137,8 @@ def main():
     dt = (time.perf_counter() - t0) / N_STEPS
 
     edges_per_s = n_edges / dt
+    B, N = batch['z'].shape
+    mfu = matmul_flops_per_step(B, N, 128, 20, 3) / dt / PEAK_FLOPS_BF16
 
     baseline_path = os.path.join(HERE, 'BENCH_BASELINE.json')
     vs_baseline = None
@@ -125,6 +153,8 @@ def main():
         'value': round(edges_per_s, 1),
         'unit': 'edges/s/chip',
         'vs_baseline': round(vs_baseline, 3) if vs_baseline else None,
+        'mfu_pct': round(100 * mfu, 1),
+        'step_ms': round(dt * 1e3, 2),
     }))
 
 
