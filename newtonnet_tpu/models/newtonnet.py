@@ -191,15 +191,6 @@ class InteractionNet(nn.Module):
         else:
             def gather_j(x):
                 return gather_nodes(x, edges.idx)
-        nodepart_j = (gather_cols(message_nodepart)[:, None, :, :] if dense
-                      else gather_j(message_nodepart))
-        message = (message_edgepart
-                   * message_nodepart[:, :, None, :]
-                   * nodepart_j) * w  # (B, N, J, F); J = N or K
-
-        # invariant update: sum over neighbors j  (ref scatter at :214)
-        atom_node = atom_node + jnp.sum(message, axis=2)
-
         # The equivariant contractions sum over neighbors j with a 3-wide
         # free axis. Three formulations (NEWTONNET_EINSUM_IMPL):
         #   'unroll' (default): unroll the 3-wide Cartesian axis into three
@@ -211,6 +202,30 @@ class InteractionNet(nn.Module):
         #       (J, F)x(J, 3) matmuls with terrible MXU utilization.
         import os as _os
         impl = _os.environ.get('NEWTONNET_EINSUM_IMPL', 'unroll')
+
+        if dense:
+            nodepart_j = gather_cols(message_nodepart)[:, None, :, :]
+            cat_j = None
+        elif impl == 'unroll':
+            # TPU row gathers are overhead-bound per row (PERF_NOTES.md:
+            # ~28 GB/s effective), so the layer's four neighbor gathers
+            # (nodepart + three force components) are fused into ONE
+            # 4F-wide gather: same row count, 4x the payload per row.
+            # The backward pass correspondingly runs one fused scatter-add.
+            cat = jnp.concatenate(
+                [message_nodepart] + [force_node[:, :, d, :]
+                                      for d in range(3)], axis=-1)
+            cat_j = gather_j(cat)  # (B, N, K, 4F)
+            nodepart_j = cat_j[..., :f]
+        else:
+            cat_j = None
+            nodepart_j = gather_j(message_nodepart)
+        message = (message_edgepart
+                   * message_nodepart[:, :, None, :]
+                   * nodepart_j) * w  # (B, N, J, F); J = N or K
+
+        # invariant update: sum over neighbors j  (ref scatter at :214)
+        atom_node = atom_node + jnp.sum(message, axis=2)
 
         # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
         phi1 = MLP([f, f], self.activation, use_bias=False,
@@ -249,10 +264,9 @@ class InteractionNet(nn.Module):
                 force_j = gather_j(force_node)
                 equiv2 = jnp.sum(phi2[:, :, :, None, :] * force_j, axis=2)
             else:
-                # three (B, N, K, F) gathers instead of one 5D gather:
-                # smaller intermediates and a fusable multiply-reduce
+                # force_node_j came in through the fused 4F gather above
                 equiv2 = jnp.stack(
-                    [jnp.sum(phi2 * gather_j(force_node[:, :, d, :]),
+                    [jnp.sum(phi2 * cat_j[..., (d + 1) * f:(d + 2) * f],
                              axis=2)
                      for d in range(3)], axis=2)
 
