@@ -41,10 +41,11 @@ def _pad_systems(systems, dtype, multiple=8):
 
 
 @partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every',
-                                   'nlist_every', 'skin'))
+                                   'nlist_every', 'skin', 'nlist_grid',
+                                   'nlist_capacity'))
 def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
                   friction, n_steps, log_every, key, nlist_every=0,
-                  skin=1.0):
+                  skin=1.0, nlist_grid=(), nlist_capacity=0):
     '''Batched-replica Langevin: all arrays carry a leading replica axis M
     (z (M, N), pos/mom (M, N, 3), masses (M, N), cell (M, 3, 3)); M
     independent trajectories integrate in lockstep through the batched
@@ -69,10 +70,21 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
     def build_nlist(pos):
         # skin-radius list: valid until any atom moves ~skin/2; stale pairs
         # beyond the true cutoff are re-masked inside the model every step
-        from newtonnet_tpu.ops.nlist import neighbor_list
-        idx, kmask, _, _ = neighbor_list(
-            pos, cell, z > 0, model.cutoff + skin, model.k_max,
-            mic_mode=model.mic_mode)
+        if nlist_grid:
+            from newtonnet_tpu.ops.cellgrid import cell_grid_neighbor_list
+            idx, kmask, _, _ = cell_grid_neighbor_list(
+                pos, cell, z > 0, model.cutoff + skin, model.k_max,
+                nlist_grid, nlist_capacity, mic_mode=model.mic_mode)
+        else:
+            from newtonnet_tpu.ops.nlist import neighbor_list
+            idx, kmask, _, _ = neighbor_list(
+                pos, cell, z > 0, model.cutoff + skin, model.k_max,
+                mic_mode=model.mic_mode)
+        if getattr(model, 'reverse_lists', False):
+            # amortize the transpose-list build with the rebuild
+            from newtonnet_tpu.ops.nlist import build_reverse_list
+            rev, rev_mask = build_reverse_list(idx, kmask)
+            return idx, kmask, rev, rev_mask
         return idx, kmask
 
     def body(carry, key, nlist=None):
@@ -105,7 +117,9 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
             n_chunks, nlist_every, -1)
         (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
             chunk, carry0, keys)
-        epots, ekins = epots.reshape(-1), ekins.reshape(-1)
+        # (n_chunks, nlist_every, M) -> (n_steps, M): keep the replica axis
+        epots = epots.reshape(n_steps, *epots.shape[2:])
+        ekins = ekins.reshape(n_steps, *ekins.shape[2:])
     else:
         (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
             body, carry0, jax.random.split(key, n_steps))
@@ -135,6 +149,19 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     systems = system if isinstance(system, (list, tuple)) else [system]
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)
+    # O(N) cell-grid rebuilds when the (identical, periodic) replica cells
+    # allow it: grid/capacity are static, picked on the host for
+    # cutoff + skin (ops/cellgrid.py)
+    nlist_grid, nlist_capacity = (), 0
+    if (nlist_every > 1
+            and getattr(model, 'graph_mode', 'dense') == 'neighborlist'
+            and np.abs(np.linalg.det(cell[0])) > 0
+            and all(np.allclose(c, cell[0]) for c in cell)):
+        from newtonnet_tpu.ops.cellgrid import suggest_capacity, suggest_grid
+        g = suggest_grid(cell[0], model.cutoff + skin)
+        if min(g) >= 3:  # below that the O(N^2) build is as good
+            nlist_grid = g
+            nlist_capacity = suggest_capacity(z.shape[1], g)
     with jax.default_matmul_precision(matmul_precision):
         pos_f, mom_f, epots, ekins = _run_langevin(
             model, params, jnp.asarray(z), jnp.asarray(pos),
@@ -142,7 +169,8 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             dt=float(timestep), temp=float(kB * temperature_K),
             friction=float(friction), n_steps=int(n_steps),
             log_every=int(log_every), key=jax.random.PRNGKey(seed),
-            nlist_every=int(nlist_every), skin=float(skin))
+            nlist_every=int(nlist_every), skin=float(skin),
+            nlist_grid=nlist_grid, nlist_capacity=nlist_capacity)
     pos_f, mom_f = np.asarray(pos_f), np.asarray(mom_f)
     for i, s in enumerate(systems):
         n = len(s)

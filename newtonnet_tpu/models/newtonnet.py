@@ -343,6 +343,10 @@ class NewtonNetCore(nn.Module):
     mic_mode: str = 'exact'
     graph_mode: str = 'dense'  # 'dense' (molecules) | 'neighborlist' (large)
     k_max: int = 48            # neighbor capacity in neighborlist mode
+    cell_grid: tuple = ()      # static (nx, ny, nz): use the O(N) in-jit
+    # cell-grid build (ops/cellgrid.py) instead of the O(N^2) one; pick
+    # with cellgrid.suggest_grid/suggest_capacity on the host
+    cell_capacity: int = 0     # static per-cell atom capacity for cell_grid
     shard_axis: str = ''       # mesh axis for atom-sharded graph parallelism
     halo: int = 0              # boundary block size for halo exchange
     # (neighborlist + shard_axis; atoms must be spatially sorted --
@@ -397,6 +401,7 @@ class NewtonNetCore(nn.Module):
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
         elif self.graph_mode == 'neighborlist':
+            pre_rev = None
             if self.shard_axis and self.halo > 0:
                 # halo graph parallelism: candidates = own slab plus the
                 # ring neighbors' boundary blocks; indices address the
@@ -415,7 +420,14 @@ class NewtonNetCore(nn.Module):
                     self.k_max, self_offset=self.halo,
                     mic_mode=self.mic_mode)
             elif nlist is not None:
-                idx, kmask = nlist
+                # (idx, mask) or, with reverse_lists, the 4-tuple that also
+                # carries the precomputed transpose lists (amortized at
+                # rebuild time instead of rebuilt every step)
+                pre_rev = None
+                if len(nlist) == 4:
+                    idx, kmask, *pre_rev = nlist
+                else:
+                    idx, kmask = nlist
                 disp = recompute_displacements(pos, cell, idx,
                                                mic_mode=self.mic_mode)
                 # hard-mask any stale pair beyond the cutoff (atoms may have
@@ -423,6 +435,12 @@ class NewtonNetCore(nn.Module):
                 # host side keeps this conservative)
                 d2 = jnp.sum(disp * disp, axis=-1)
                 kmask = kmask & (d2 < self.cutoff * self.cutoff)
+            elif self.cell_grid:
+                from newtonnet_tpu.ops.cellgrid import cell_grid_neighbor_list
+                idx, kmask, disp, _ = cell_grid_neighbor_list(
+                    pos, cell, atom_mask, self.cutoff, self.k_max,
+                    self.cell_grid, self.cell_capacity,
+                    mic_mode=self.mic_mode)
             else:
                 idx, kmask, disp, _ = neighbor_list(
                     pos, cell, atom_mask, self.cutoff, self.k_max,
@@ -430,7 +448,12 @@ class NewtonNetCore(nn.Module):
             dist, dir_edge = scaled_norm(disp, self.cutoff)
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             if self.reverse_lists:
-                rev, rev_mask = build_reverse_list(idx, kmask)
+                # stale-pair tightening of kmask (above) does not require
+                # re-deriving rev/rev_mask: a stale edge's cotangent is
+                # already zero (the layer multiplies by the mask), so
+                # pulling it is harmless
+                rev, rev_mask = (pre_rev if pre_rev
+                                 else build_reverse_list(idx, kmask))
             else:
                 rev, rev_mask = idx, kmask  # unused placeholders
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,

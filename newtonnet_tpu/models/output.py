@@ -59,6 +59,8 @@ class NewtonNet:
             mic_mode: str = 'exact',
             graph_mode: str = 'dense',
             k_max: int = 48,
+            cell_grid: Sequence[int] = (),
+            cell_capacity: int = 0,
             reverse_lists: bool = False,
             compute_dtype: str = '',
             ewald_sigma: float = 1.0,
@@ -94,6 +96,8 @@ class NewtonNet:
         self.mic_mode = mic_mode
         self.graph_mode = graph_mode
         self.k_max = k_max
+        self.cell_grid = tuple(cell_grid)
+        self.cell_capacity = cell_capacity
         self.reverse_lists = reverse_lists
         self.compute_dtype = compute_dtype
         self.ewald_sigma = ewald_sigma
@@ -116,6 +120,7 @@ class NewtonNet:
             n_interactions=n_interactions, activation=activation,
             layer_norm=layer_norm, output_properties=core_props,
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
+            cell_grid=tuple(cell_grid), cell_capacity=cell_capacity,
             reverse_lists=reverse_lists, compute_dtype=compute_dtype,
             param_dtype=param_dtype)
 
@@ -136,7 +141,9 @@ class NewtonNet:
             'activation': self.activation, 'layer_norm': self.layer_norm,
             'output_properties': list(self.output_properties),
             'mic_mode': self.mic_mode, 'graph_mode': self.graph_mode,
-            'k_max': self.k_max, 'reverse_lists': self.reverse_lists,
+            'k_max': self.k_max, 'cell_grid': list(self.cell_grid),
+            'cell_capacity': self.cell_capacity,
+            'reverse_lists': self.reverse_lists,
             'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,

@@ -76,7 +76,8 @@ def neighbor_list(pos, cell, atom_mask, cutoff, k_max, mic_mode='exact',
 
     idx = jnp.where(kmask, idx, 0)
     disp = pos[:, :, None, :] - jnp.take_along_axis(
-        pos, idx.reshape(B, -1, 1), axis=1).reshape(B, N, k_max, 3)
+        pos, idx.reshape(B, -1, 1), axis=1,
+        mode='promise_in_bounds').reshape(B, N, k_max, 3)
     disp = _mic_edges(disp, cell, is_periodic, mic_mode)
     return idx, kmask, disp, overflow
 
@@ -134,7 +135,7 @@ def neighbor_list_rect(pos_own, pos_cand, cell, own_mask, cand_mask,
 
     idx = jnp.where(kmask, top_idx.astype(jnp.int32), 0)
     disp = jnp.take_along_axis(
-        disp, idx[..., None], axis=2)
+        disp, idx[..., None], axis=2, mode='promise_in_bounds')
     return idx, kmask, disp, overflow
 
 
@@ -148,7 +149,8 @@ def recompute_displacements(pos, cell, idx, mic_mode='exact'):
     B, N, K = idx.shape
     is_periodic = jnp.any(cell != 0, axis=(-1, -2))
     pos_j = jnp.take_along_axis(
-        pos, idx.reshape(B, N * K, 1), axis=1).reshape(B, N, K, 3)
+        pos, idx.reshape(B, N * K, 1), axis=1,
+        mode='promise_in_bounds').reshape(B, N, K, 3)
     disp = pos[:, :, None, :] - pos_j
     return _mic_edges(disp, cell, is_periodic, mic_mode)
 
@@ -193,7 +195,8 @@ def edge_pull(y, idx, rev, rev_mask):
     B, N, K = idx.shape
     flat_index = (idx * K + rev).reshape(B, N * K, 1)
     y_flat = y.reshape(B, N * K, -1)
-    out = jnp.take_along_axis(y_flat, flat_index, axis=1)
+    out = jnp.take_along_axis(y_flat, flat_index, axis=1,
+                              mode='promise_in_bounds')
     out = out.reshape(y.shape)
     mask = rev_mask.reshape(rev_mask.shape + (1,) * (y.ndim - 3))
     return jnp.where(mask, out, 0)
@@ -250,5 +253,6 @@ def gather_nodes(x, idx):
     B, N = x.shape[:2]
     R, K = idx.shape[1], idx.shape[2]
     flat = jnp.take_along_axis(
-        x.reshape(B, N, -1), idx.reshape(B, R * K, 1), axis=1)
+        x.reshape(B, N, -1), idx.reshape(B, R * K, 1), axis=1,
+        mode='promise_in_bounds')
     return flat.reshape((B, R, K) + x.shape[2:])

@@ -223,3 +223,28 @@ def test_fire_optimizer_converges():
     converged, n, fnorm = opt.run(fmax=1e-3, steps=2000)
     assert converged, (n, fnorm)
     np.testing.assert_allclose(s.positions, r0, atol=1e-3)
+
+
+def test_on_device_amortized_cellgrid_rebuild(rng):
+    '''Periodic neighborlist MD with nlist_every > 1 routes through the
+    O(N) cell-grid rebuild (md/driver.py) and keeps per-replica logs.'''
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    rs = np.random.RandomState(0)
+    N, L = 128, 12.0
+    numbers = rs.choice([1, 6, 8], N)
+    s = System(numbers, rs.rand(N, 3) * L, cell=np.diag([L, L, L]))
+    maxwell_boltzmann(s, 300, rng=np.random.default_rng(0))
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      graph_mode='neighborlist', k_max=48,
+                      reverse_lists=True,
+                      output_properties=['energy', 'gradient_force'])
+    z = jnp.asarray(numbers)[None]
+    params = model.init(rng, z, jnp.asarray(s.positions)[None],
+                        jnp.asarray(s.cell)[None])
+    out, log = run_langevin_on_device(
+        model, params, s, timestep=0.25 * units.fs, temperature_K=300,
+        friction=1 / (100 * units.fs), n_steps=8, log_every=2,
+        nlist_every=4, skin=1.0)
+    assert log['epot'].shape == (4,)  # single system: (n_logged,) not flat
+    assert np.isfinite(log['epot']).all()
+    assert np.isfinite(out.positions).all()

@@ -102,3 +102,24 @@ def test_neighbor_list_triclinic():
     pos2 = pos.at[0, 3].add(jnp.asarray(cell_np[0, 1], F64))
     out_n2 = nl_model.apply(params, z, pos2, cell)
     np.testing.assert_allclose(out_n['energy'], out_n2['energy'], rtol=1e-9)
+
+
+def test_precomputed_reverse_lists(rng):
+    '''nlist 4-tuple (idx, mask, rev, rev_mask) == in-step reverse build.'''
+    from newtonnet_tpu.ops.nlist import build_reverse_list
+
+    z, pos, cell = _random_system(4, 2, 10, periodic=True)
+    model = NewtonNet(graph_mode='neighborlist', k_max=9, reverse_lists=True,
+                      n_features=16, n_basis=8, n_interactions=2,
+                      output_properties=['energy', 'gradient_force'],
+                      param_dtype=F64)
+    params = model.init(rng, z, pos, cell)
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, 5.0, 9)
+    rev, rev_mask = build_reverse_list(idx, kmask)
+    out_in_step = model.apply(params, z, pos, cell, nlist=(idx, kmask))
+    out_pre = model.apply(params, z, pos, cell,
+                          nlist=(idx, kmask, rev, rev_mask))
+    np.testing.assert_allclose(out_in_step['energy'], out_pre['energy'],
+                               rtol=1e-12)
+    np.testing.assert_allclose(out_in_step['gradient_force'],
+                               out_pre['gradient_force'], atol=1e-12)

@@ -49,9 +49,21 @@ def main():
     build = jax.jit(lambda p, c, m: neighbor_list(p, c, m, 5.0, K))
     idx, kmask, disp, ovf = build(pos, cell, z > 0)
     edges = int(jnp.sum(kmask))
-    print(f'N={N} K={K} edges={edges} overflow={int(ovf.sum())}')
+    kreal = int(jnp.sum(kmask, axis=-1).max())
+    print(f'N={N} K={K} edges={edges} maxK={kreal} overflow={int(ovf.sum())}')
     t_build = timeit(lambda: build(pos, cell, z > 0))
-    print(f'neighbor_list build      : {t_build:8.2f} ms')
+    print(f'neighbor_list build O(N^2): {t_build:7.2f} ms')
+
+    from newtonnet_tpu.ops.cellgrid import (
+        cell_grid_neighbor_list, suggest_capacity, suggest_grid)
+    grid = suggest_grid(np.asarray(cell[0]), 5.0)
+    cap = suggest_capacity(N, grid)
+    build_cg = jax.jit(lambda p, c, m: cell_grid_neighbor_list(
+        p, c, m, 5.0, K, grid, cap))
+    _, kmask_cg, _, ovf_cg = build_cg(pos, cell, z > 0)
+    t_cg = timeit(lambda: build_cg(pos, cell, z > 0))
+    print(f'cell-grid build {str(grid):9s} C={cap}: {t_cg:7.2f} ms '
+          f'(edges={int(jnp.sum(kmask_cg))}, ovf={int(ovf_cg.sum())})')
 
     model = NewtonNet(cutoff=5.0, graph_mode='neighborlist', k_max=K,
                       output_properties=('energy', 'gradient_force'))
