@@ -54,13 +54,22 @@ class NeighborEdges(NamedTuple):
 
     rev/rev_mask are the reverse (transpose) lists from build_reverse_list;
     they make every backward pass gather-only (no TPU scatters).
+
+    kmajor=True transposes every per-edge tensor to (B, K, N, ...): the
+    sum-over-neighbors reductions then run over the outermost non-batch
+    axis, whose natural TPU layout matches the gather outputs -- without it
+    XLA inserts ~1 ms relayout copies per (B, N, K, 4F) tensor between the
+    gathers (which produce (N*K, F) row-major) and the K reductions (which
+    want K-major). Measured on the N=4096/K=80 step those copies are ~14%
+    of the whole train step (PERF_NOTES.md).
     '''
-    idx: jnp.ndarray   # (B, N, K) int32
+    idx: jnp.ndarray   # (B, N, K) int32   [(B, K, N) if kmajor]
     mask: jnp.ndarray  # (B, N, K) bool
     dir: jnp.ndarray   # (B, N, K, 3)
     rbf: jnp.ndarray   # (B, N, K, n_basis)
     rev: jnp.ndarray   # (B, N, K) int32
     rev_mask: jnp.ndarray  # (B, N, K) bool
+    kmajor: bool = False
 
 
 def _torch_uniform_init(bound):
@@ -152,8 +161,15 @@ class InteractionNet(nn.Module):
         '''
         f = self.n_features
         dense = isinstance(edges, DenseEdges)
+        # jaxis = the summed-over neighbor axis of per-edge tensors:
+        # 2 for (B, N, J, ...), 1 for the kmajor (B, K, N, ...) layout.
+        jaxis = 1 if (not dense and edges.kmajor) else 2
         w = (edges.adj if dense else edges.mask)[..., None] \
             .astype(atom_node.dtype)
+
+        def bcast_i(x):
+            # broadcast a per-node (B, N, F) tensor across the edge axis
+            return x[:, None, :, :] if jaxis == 1 else x[:, :, None, :]
 
         def gather_cols(x):
             # local -> global along the atom axis when graph-parallel
@@ -221,11 +237,11 @@ class InteractionNet(nn.Module):
             cat_j = None
             nodepart_j = gather_j(message_nodepart)
         message = (message_edgepart
-                   * message_nodepart[:, :, None, :]
+                   * bcast_i(message_nodepart)
                    * nodepart_j) * w  # (B, N, J, F); J = N or K
 
         # invariant update: sum over neighbors j  (ref scatter at :214)
-        atom_node = atom_node + jnp.sum(message, axis=2)
+        atom_node = atom_node + jnp.sum(message, axis=jaxis)
 
         # equivariant message 1: phi1(m_ij) * dir_ij   (ref :218-220)
         phi1 = MLP([f, f], self.activation, use_bias=False,
@@ -238,7 +254,7 @@ class InteractionNet(nn.Module):
                              * edges.dir[..., None], axis=2)
         else:
             equiv1 = jnp.stack(
-                [jnp.sum(phi1 * edges.dir[..., d:d + 1], axis=2)
+                [jnp.sum(phi1 * edges.dir[..., d:d + 1], axis=jaxis)
                  for d in range(3)], axis=2)
 
         # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
@@ -267,7 +283,7 @@ class InteractionNet(nn.Module):
                 # force_node_j came in through the fused 4F gather above
                 equiv2 = jnp.stack(
                     [jnp.sum(phi2 * cat_j[..., (d + 1) * f:(d + 2) * f],
-                             axis=2)
+                             axis=jaxis)
                      for d in range(3)], axis=2)
 
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
@@ -456,8 +472,18 @@ class NewtonNetCore(nn.Module):
                                  else build_reverse_list(idx, kmask))
             else:
                 rev, rev_mask = idx, kmask  # unused placeholders
+            import os as _os
+            kn = (_os.environ.get('NEWTONNET_EDGE_LAYOUT', 'kn') == 'kn'
+                  and not self.shard_axis and not self.reverse_lists
+                  and _os.environ.get('NEWTONNET_EINSUM_IMPL', 'unroll')
+                  == 'unroll')
+            if kn:
+                idx = jnp.swapaxes(idx, 1, 2)
+                kmask = jnp.swapaxes(kmask, 1, 2)
+                dir_edge = jnp.swapaxes(dir_edge, 1, 2)
+                rbf = jnp.swapaxes(rbf, 1, 2)
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,
-                                  rev=rev, rev_mask=rev_mask)
+                                  rev=rev, rev_mask=rev_mask, kmajor=kn)
         else:
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
