@@ -126,6 +126,117 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
     return pos, vel * masses_c, epots[::log_every], ekins[::log_every]
 
 
+def _langevin_coeffs(masses_c, dt, temp, friction):
+    sigma = jnp.sqrt(2 * temp * friction / masses_c)
+    c1 = dt / 2.0 - dt * dt * friction / 8.0
+    c2 = dt * friction / 2.0 - dt * dt * friction * friction / 8.0
+    c3 = jnp.sqrt(dt) * sigma / 2.0 - dt ** 1.5 * friction * sigma / 8.0
+    c5 = dt ** 1.5 * sigma / (2.0 * jnp.sqrt(3.0))
+    c4 = friction / 2.0 * c5
+    return c1, c2, c3, c4, c5
+
+
+@partial(jax.jit, static_argnames=('model', 'n_steps'),
+         donate_argnums=(2,))
+def _langevin_chunk(model, params, carry, z, masses, cell, nlist, keys, *,
+                    dt, temp, friction, n_steps):
+    '''One fixed-neighbor-list chunk of Langevin steps (host-rebuild mode).
+
+    Used when the model runs with inverse_lists: the symmetric-slotted
+    lists must be recolored on the host (native/symslots.cpp) at each skin
+    rebuild, so the trajectory advances in host-dispatched chunks of
+    nlist_every steps instead of one all-on-device double scan. carry is
+    (pos, vel, f, epot) and is donated.
+    '''
+    masses_c = masses[..., None]
+    atom_mask = (z > 0).astype(carry[0].dtype)[..., None]
+    c1, c2, c3, c4, c5 = _langevin_coeffs(masses_c, dt, temp, friction)
+
+    def body(carry, key):
+        pos, vel, f, _ = carry
+        xi = jax.random.normal(key, pos.shape, pos.dtype)
+        eta = jax.random.normal(jax.random.fold_in(key, 1), pos.shape,
+                                pos.dtype)
+        vel = (vel + c1 * f / masses_c - c2 * vel
+               + c3 * xi - c4 * eta) * atom_mask
+        pos = pos + dt * vel + c5 * eta * atom_mask
+        out = model.apply(params, z, pos, cell, nlist=nlist)
+        epot, f = out['energy'], out['gradient_force']
+        vel = (vel + c1 * f / masses_c - c2 * vel
+               + c3 * xi - c4 * eta) * atom_mask
+        ekin = 0.5 * jnp.sum(masses_c * vel * vel, axis=(-1, -2))
+        return (pos, vel, f, epot), (epot, ekin)
+
+    return jax.lax.scan(body, carry, keys)
+
+
+@partial(jax.jit, static_argnames=('model',))
+def _apply_ef(model, params, z, pos, cell, nlist):
+    out = model.apply(params, z, pos, cell, nlist=nlist)
+    return out['energy'], out['gradient_force']
+
+
+def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
+    '''Build + shared-slot-recolor neighbor lists for the inverse_lists MD
+    path: returns the 4-tuple (idx, kmask, inv, inv_mask) the model expects
+    (inv lists in K-major orientation; for symmetric slots they are the
+    transposed forward lists). One native C++ pass per replica.
+    '''
+    from newtonnet_tpu import native
+    from newtonnet_tpu.ops.nlist import symmetrize_slots
+    pos = np.asarray(pos)
+    z = np.asarray(z)
+    cell = np.asarray(cell)
+    M, N = z.shape
+    k = model.k_max
+    idxs = np.zeros((M, N, k), np.int32)
+    masks = np.zeros((M, N, k), bool)
+    use_native = native.available() or native.ensure_built()
+    for m in range(M):
+        if use_native:
+            # padding rows sit at the end (z == 0); build on real atoms only
+            n_real = int((z[m] > 0).sum())
+            idx_r, count, ovf = native.cell_list_neighbors(
+                pos[m, :n_real], cell[m] if cell[m].any() else None,
+                model.cutoff + skin, k)
+            if ovf:
+                raise ValueError(
+                    f'neighbor overflow ({ovf} atoms > k_max={k})')
+            idx = np.zeros((N, k), np.int32)
+            idx[:n_real] = idx_r
+            kmask = np.zeros((N, k), bool)
+            kmask[:n_real] = np.arange(k)[None, :] < count[:, None]
+        else:  # pure-python fallback (tests without a toolchain)
+            import jax as _jax
+            from newtonnet_tpu.ops.nlist import neighbor_list
+            idx_d, kmask_d, _, _ = _jax.jit(
+                lambda p, c, zz: neighbor_list(
+                    p, c, zz > 0, model.cutoff + skin, k,
+                    mic_mode=model.mic_mode))(
+                jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
+                jnp.asarray(z[m][None]))
+            idx, kmask = np.asarray(idx_d[0]), np.asarray(kmask_d[0])
+        idx2, kmask2 = symmetrize_slots(idx, kmask, k_max=k)
+        idxs[m], masks[m] = idx2, kmask2
+    # minimal wire format: one sentinel-coded index array (invalid -> N),
+    # int16 when it fits; mask and the K-major transposes are derived on
+    # device. On the axon-tunneled dev chip h2d runs at ~30 MB/s, so wire
+    # bytes dominate the rebuild cost; on directly-attached TPUs this is
+    # immaterial but still free.
+    sent = np.where(masks, idxs, N)
+    wire = sent.astype(np.int16 if N < 2 ** 15 - 1 else np.int32)
+    return _unpack_symmetric_nlist(jnp.asarray(wire))
+
+
+@jax.jit
+def _unpack_symmetric_nlist(wire):
+    idx = wire.astype(jnp.int32)
+    n = wire.shape[1]
+    mask = idx < n
+    idx = jnp.where(mask, idx, 0)
+    return (idx, mask, jnp.swapaxes(idx, 1, 2), jnp.swapaxes(mask, 1, 2))
+
+
 def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                            friction, n_steps, log_every=100, seed=0,
                            dtype=np.float32, matmul_precision='highest',
@@ -149,6 +260,51 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     systems = system if isinstance(system, (list, tuple)) else [system]
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)
+
+    if (nlist_every > 1 and getattr(model, 'inverse_lists', False)
+            and getattr(model, 'graph_mode', 'dense') == 'neighborlist'):
+        # host-rebuild mode: symmetric-slotted lists (scatter-free model
+        # backward) are recolored natively on the host per skin rebuild,
+        # so the trajectory advances in chunks of nlist_every dispatches
+        assert n_steps % nlist_every == 0
+        kB_T = float(kB * temperature_K)
+        z_j = jnp.asarray(z)
+        masses_j = jnp.asarray(masses)
+        cell_j = jnp.asarray(cell)
+        vel = jnp.asarray(mom / masses[..., None])
+        pos_j = jnp.asarray(pos)
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_steps).reshape(
+            n_steps // nlist_every, nlist_every, -1)
+        ep_list, ek_list = [], []
+        with jax.default_matmul_precision(matmul_precision):
+            nlist = host_symmetric_nlist(model, z, pos_j, cell, skin=skin)
+            epot, f = _apply_ef(model, params, z_j, pos_j, cell_j, nlist)
+            carry = (pos_j, vel, f, epot)
+            for c in range(n_steps // nlist_every):
+                if c > 0:
+                    nlist = host_symmetric_nlist(model, z, carry[0], cell,
+                                                 skin=skin)
+                carry, (ep, ek) = _langevin_chunk(
+                    model, params, carry, z_j, masses_j, cell_j, nlist,
+                    keys[c], dt=float(timestep), temp=kB_T,
+                    friction=float(friction), n_steps=int(nlist_every))
+                ep_list.append(np.asarray(ep))
+                ek_list.append(np.asarray(ek))
+        pos_f = np.asarray(carry[0])
+        mom_f = np.asarray(carry[1]) * masses[..., None]
+        epots = np.concatenate(ep_list)[::log_every]
+        ekins = np.concatenate(ek_list)[::log_every]
+        for i, s in enumerate(systems):
+            n = len(s)
+            s.positions = pos_f[i, :n].astype(np.float64)
+            s.momenta = mom_f[i, :n].astype(np.float64)
+        dof = np.array([3 * len(s) for s in systems])
+        log = {'epot': epots, 'ekin': ekins,
+               'temperature': 2.0 * ekins / (dof[None, :] * kB)}
+        if not isinstance(system, (list, tuple)):
+            log = {k: v[:, 0] for k, v in log.items()}
+            return systems[0], log
+        return systems, log
     # O(N) cell-grid rebuilds when the (identical, periodic) replica cells
     # allow it: grid/capacity are static, picked on the host for
     # cutoff + skin (ops/cellgrid.py)

@@ -70,6 +70,8 @@ class NeighborEdges(NamedTuple):
     rev: jnp.ndarray   # (B, N, K) int32
     rev_mask: jnp.ndarray  # (B, N, K) bool
     kmajor: bool = False
+    inv: jnp.ndarray = None        # (B, K, N) inverse lists (kmajor only)
+    inv_mask: jnp.ndarray = None   # (B, K, N)
 
 
 def _torch_uniform_init(bound):
@@ -138,6 +140,8 @@ class InteractionNet(nn.Module):
     # atom axis and per-layer communication is a boundary-block ring
     # exchange (parallel/halo.py) instead of the dense all-gather
     reverse_lists: bool = False  # gather-only backward via transpose lists
+    inverse_lists: bool = False  # scatter-free backward via inverse lists
+    # (K-major layout; see ops/nlist.inv_gather)
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -204,6 +208,11 @@ class InteractionNet(nn.Module):
         elif self.reverse_lists:
             def gather_j(x):
                 return edge_gather(x, edges.idx, edges.rev, edges.rev_mask)
+        elif self.inverse_lists and edges.kmajor and edges.inv is not None:
+            from newtonnet_tpu.ops.nlist import inv_gather
+
+            def gather_j(x):
+                return inv_gather(x, edges.idx, edges.inv, edges.inv_mask)
         else:
             def gather_j(x):
                 return gather_nodes(x, edges.idx)
@@ -368,6 +377,9 @@ class NewtonNetCore(nn.Module):
     # (neighborlist + shard_axis; atoms must be spatially sorted --
     # parallel/halo.py)
     reverse_lists: bool = False  # scatter-free backward (see InteractionNet)
+    inverse_lists: bool = False  # scatter-free backward via K-major inverse
+    # lists (ops/nlist.inv_gather); pays when the lists amortize over MD
+    # skin rebuilds or the several scatters of a multi-layer train step
     compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
     # precision: bf16 interaction stack (the HBM-bound pair tensors at half
     # traffic), fp32 graph build, heads and aggregation
@@ -417,7 +429,7 @@ class NewtonNetCore(nn.Module):
             rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
         elif self.graph_mode == 'neighborlist':
-            pre_rev = None
+            pre_rev = pre_inv = None
             if self.shard_axis and self.halo > 0:
                 # halo graph parallelism: candidates = own slab plus the
                 # ring neighbors' boundary blocks; indices address the
@@ -436,16 +448,31 @@ class NewtonNetCore(nn.Module):
                     self.k_max, self_offset=self.halo,
                     mic_mode=self.mic_mode)
             elif nlist is not None:
-                # (idx, mask) or, with reverse_lists, the 4-tuple that also
-                # carries the precomputed transpose lists (amortized at
-                # rebuild time instead of rebuilt every step)
-                pre_rev = None
-                if len(nlist) == 4:
+                # (idx, mask) or, with reverse_lists/inverse_lists, the
+                # 4-tuple that also carries the precomputed transpose or
+                # inverse lists (amortized at rebuild time instead of
+                # rebuilt every step). Precomputed inverse lists are in the
+                # K-major (B, K, N) orientation of build_inverse_list.
+                pre_rev = pre_inv = None
+                if len(nlist) == 4 and self.inverse_lists:
+                    idx, kmask, *pre_inv = nlist
+                elif len(nlist) == 4:
                     idx, kmask, *pre_rev = nlist
                 else:
                     idx, kmask = nlist
-                disp = recompute_displacements(pos, cell, idx,
-                                               mic_mode=self.mic_mode)
+                if pre_inv is not None:
+                    # go K-major immediately: displacements recomputed in
+                    # (B, K, N) orientation with the scatter-free pos
+                    # backward (ops/nlist.recompute_displacements_kn)
+                    from newtonnet_tpu.ops.nlist import \
+                        recompute_displacements_kn
+                    idx = jnp.swapaxes(idx, 1, 2)
+                    kmask = jnp.swapaxes(kmask, 1, 2)
+                    disp = recompute_displacements_kn(
+                        pos, cell, idx, *pre_inv, mic_mode=self.mic_mode)
+                else:
+                    disp = recompute_displacements(pos, cell, idx,
+                                                   mic_mode=self.mic_mode)
                 # hard-mask any stale pair beyond the cutoff (atoms may have
                 # moved since the host built the list; a skin margin on the
                 # host side keeps this conservative)
@@ -477,13 +504,35 @@ class NewtonNetCore(nn.Module):
                   and not self.shard_axis and not self.reverse_lists
                   and _os.environ.get('NEWTONNET_EINSUM_IMPL', 'unroll')
                   == 'unroll')
-            if kn:
+            if self.inverse_lists and not kn:
+                raise ValueError(
+                    'inverse_lists requires the K-major edge layout '
+                    '(no sharding/reverse_lists, NEWTONNET_EDGE_LAYOUT=kn, '
+                    'NEWTONNET_EINSUM_IMPL=unroll)')
+            if kn and pre_inv is None:  # pre_inv path is already K-major
                 idx = jnp.swapaxes(idx, 1, 2)
                 kmask = jnp.swapaxes(kmask, 1, 2)
                 dir_edge = jnp.swapaxes(dir_edge, 1, 2)
                 rbf = jnp.swapaxes(rbf, 1, 2)
+            inv = inv_mask = None
+            if self.inverse_lists:
+                # Exactness requires per-slot injectivity (no two atoms
+                # sharing a neighbor at the same slot), which top_k slotting
+                # does NOT give -- only symmetric-slotted host-built lists
+                # (ops/nlist.symmetrize_slots / the native builder) qualify,
+                # so precomputed lists are mandatory here. Stale-pair
+                # tightening of kmask does not require rebuilding inv: a
+                # stale edge's cotangent is already zero, so pulling it in
+                # the backward adds zero.
+                # Without precomputed lists (e.g. model.init, or an apply
+                # that rebuilds in-jit) the layer falls back to the plain
+                # scatter backward: in-jit top_k lists are not per-slot
+                # injective, so deriving inv from them would drop edges.
+                if pre_inv is not None:
+                    inv, inv_mask = pre_inv
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,
-                                  rev=rev, rev_mask=rev_mask, kmajor=kn)
+                                  rev=rev, rev_mask=rev_mask, kmajor=kn,
+                                  inv=inv, inv_mask=inv_mask)
         else:
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
@@ -502,6 +551,7 @@ class NewtonNetCore(nn.Module):
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, shard_axis=self.shard_axis,
                 halo=self.halo, reverse_lists=self.reverse_lists,
+                inverse_lists=self.inverse_lists,
                 param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
         if self.compute_dtype:

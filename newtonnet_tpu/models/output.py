@@ -62,6 +62,7 @@ class NewtonNet:
             cell_grid: Sequence[int] = (),
             cell_capacity: int = 0,
             reverse_lists: bool = False,
+            inverse_lists: bool = False,
             compute_dtype: str = '',
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
@@ -99,6 +100,7 @@ class NewtonNet:
         self.cell_grid = tuple(cell_grid)
         self.cell_capacity = cell_capacity
         self.reverse_lists = reverse_lists
+        self.inverse_lists = inverse_lists
         self.compute_dtype = compute_dtype
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
@@ -121,8 +123,8 @@ class NewtonNet:
             layer_norm=layer_norm, output_properties=core_props,
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
             cell_grid=tuple(cell_grid), cell_capacity=cell_capacity,
-            reverse_lists=reverse_lists, compute_dtype=compute_dtype,
-            param_dtype=param_dtype)
+            reverse_lists=reverse_lists, inverse_lists=inverse_lists,
+            compute_dtype=compute_dtype, param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -144,6 +146,7 @@ class NewtonNet:
             'k_max': self.k_max, 'cell_grid': list(self.cell_grid),
             'cell_capacity': self.cell_capacity,
             'reverse_lists': self.reverse_lists,
+            'inverse_lists': self.inverse_lists,
             'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,

@@ -47,6 +47,10 @@ def _load():
     lib.cell_list_neighbors.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_double,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+    lib.symmetrize_slots.restype = ctypes.c_int64
+    lib.symmetrize_slots.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -135,3 +139,27 @@ def cell_list_neighbors(pos, cell, cutoff, k_max):
         idx.ctypes.data_as(ctypes.c_void_p),
         count.ctypes.data_as(ctypes.c_void_p))
     return idx, count, int(overflow)
+
+
+def symmetrize_slots_native(idx, kmask, k_out):
+    '''Shared-slot re-coloring of one frame's neighbor list (C++).
+
+    idx (N, K) int32, kmask (N, K) bool -> (idx2, kmask2) of shape
+    (N, k_out) with every undirected edge at the same slot in both
+    endpoint lists (see native/symslots.cpp). Returns None if k_out is
+    too small for the greedy coloring (caller should retry larger).
+    '''
+    lib = _load()
+    if lib is None:
+        raise RuntimeError('native library not built (run make -C native)')
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    kmask = np.ascontiguousarray(kmask, dtype=np.uint8)
+    n, k_in = idx.shape
+    idx2 = np.zeros((n, k_out), np.int32)
+    mask2 = np.zeros((n, k_out), np.uint8)
+    slots = lib.symmetrize_slots(
+        idx.ctypes.data, kmask.ctypes.data, n, k_in, k_out,
+        idx2.ctypes.data, mask2.ctypes.data)
+    if slots < 0:
+        return None
+    return idx2, mask2.astype(bool)

@@ -155,6 +155,24 @@ def recompute_displacements(pos, cell, idx, mic_mode='exact'):
     return _mic_edges(disp, cell, is_periodic, mic_mode)
 
 
+def recompute_displacements_kn(pos, cell, idx_kn, inv, inv_mask,
+                               mic_mode='exact'):
+    '''K-major displacement recompute with a scatter-free pos backward.
+
+    disp[b, k, n] = pos[b, n] - pos[b, idx_kn[b, k, n]], minimum-imaged.
+    The neighbor-position gather goes through inv_gather, so d(loss)/d(pos)
+    accumulates via the scan-of-slice-gathers adjoint instead of an E-row
+    scatter (requires symmetric-slotted lists; see inv_gather).
+    '''
+    B, K, N = idx_kn.shape
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    pos_j = inv_gather(pos, idx_kn, inv, inv_mask)      # (B, K, N, 3)
+    disp = pos[:, None, :, :] - pos_j
+    out = minimum_image(disp.reshape(B, K * N, 1, 3), cell, is_periodic,
+                        mic_mode=mic_mode)
+    return out.reshape(B, K, N, 3)
+
+
 def build_reverse_list(idx, kmask):
     '''Reverse (transpose) neighbor list for symmetric radius graphs.
 
@@ -241,6 +259,188 @@ def _edge_gather_bwd(res, cot):
 
 
 edge_gather.defvjp(_edge_gather_fwd, _edge_gather_bwd)
+
+
+def symmetrize_slots(idx, kmask, k_max=None):
+    '''Re-slot a symmetric neighbor list so slot assignments are shared.
+
+    HOST-side (numpy) reference implementation; the native C++ builder
+    (newtonnet_tpu/native) is the production path for MD rebuilds.
+
+    Input idx/kmask (N, K) may be distance-sorted (top_k) lists; output
+    lists contain exactly the same edge set, but each undirected edge
+    (i, j) occupies the SAME slot c in both endpoint lists:
+
+        out_idx[i, c] = j  and  out_idx[j, c] = i.
+
+    Each slot's i -> idx[:, c] map is then an involution on its valid
+    entries -- per-slot injective -- which is the property inv_gather's
+    scatter-free backward needs (the inverse list is the list itself).
+    Greedy coloring in descending-degree edge order needs barely more
+    slots than the max degree in practice (79 vs 77 on a 4096-atom
+    r_c=5 A liquid); a proper Konig coloring would need exactly max
+    degree, but the greedy slack is ~2 slots.
+
+    Args:
+        idx, kmask: (N, K) or (B, N, K) numpy arrays.
+        k_max: output slot capacity (defaults to input K). Raises if the
+            greedy coloring needs more slots.
+
+    Returns:
+        (idx2, kmask2) with the same shape and k_max slots.
+    '''
+    import numpy as np
+    if idx.ndim == 3:
+        outs = [symmetrize_slots(idx[b], kmask[b], k_max)
+                for b in range(idx.shape[0])]
+        return (np.stack([o[0] for o in outs]),
+                np.stack([o[1] for o in outs]))
+    idx = np.asarray(idx)
+    kmask = np.asarray(kmask)
+    N, K = idx.shape
+    k_max = k_max or K
+    try:  # C++ fast path (~10 ns/edge vs ~5 us/edge for the loop below)
+        from newtonnet_tpu import native
+        if native.available() or native.ensure_built():
+            out = native.symmetrize_slots_native(idx, kmask, k_max)
+            if out is None:
+                raise ValueError(
+                    f'symmetrize_slots: >{k_max} shared slots needed; '
+                    'raise k_max')
+            return out
+    except (ImportError, RuntimeError, OSError):
+        pass
+    rows = np.repeat(np.arange(N), K)[kmask.ravel()]
+    cols = idx.ravel()[kmask.ravel()]
+    lo, hi = np.minimum(rows, cols), np.maximum(rows, cols)
+    pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    deg = np.bincount(pairs[:, 0], minlength=N) \
+        + np.bincount(pairs[:, 1], minlength=N)
+    order = np.argsort(-(deg[pairs[:, 0]] + deg[pairs[:, 1]]),
+                       kind='stable')
+    used = np.zeros((N, k_max), bool)
+    idx2 = np.zeros((N, k_max), idx.dtype)
+    kmask2 = np.zeros((N, k_max), bool)
+    for i, j in pairs[order]:
+        free = ~(used[i] | used[j])
+        if not free.any():
+            raise ValueError(
+                f'symmetrize_slots: >{k_max} shared slots needed '
+                f'(max degree {deg.max()}); raise k_max')
+        c = int(np.argmax(free))
+        used[i, c] = used[j, c] = True
+        idx2[i, c], idx2[j, c] = j, i
+        kmask2[i, c] = kmask2[j, c] = True
+    return idx2, kmask2
+
+
+def build_inverse_list(idx_kn, kmask_kn):
+    '''Per-slot inverse neighbor lists for the K-major edge layout.
+
+    For idx (B, K, N) with idx_kn[b, k, i] the neighbor of atom i in slot
+    k, the inverse list satisfies
+
+        idx_kn[b, k, inv[b, k, j]] == j   wherever inv_mask[b, k, j].
+
+    EXACT ONLY when each slot's i -> idx[k, i] map is injective on valid
+    entries -- true for symmetric-slotted lists (symmetrize_slots; there
+    inv == idx itself), NOT for distance-sorted top_k lists, where two
+    atoms routinely share the same k-th nearest neighbor and the colliding
+    edge would be silently dropped here. With a qualifying list the
+    backward of the per-layer neighbor gather becomes a scan of K
+    small-source gathers (inv_gather below) instead of one E-row TPU
+    scatter-add -- measured ~1.9x faster at N=4096, K=80 (PERF_NOTES.md).
+
+    Returns:
+        inv (B, K, N) int32 (0 where invalid), inv_mask (B, K, N) bool.
+    '''
+    B, K, N = idx_kn.shape
+    src = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, None, :], (B, K, N))
+    tgt = jnp.where(kmask_kn, idx_kn, N)  # invalid -> dropped (index N)
+    binds = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, K, N))
+    kinds = jnp.broadcast_to(jnp.arange(K)[None, :, None], (B, K, N))
+    filled = jnp.full((B, K, N + 1), -1, jnp.int32) \
+        .at[binds, kinds, tgt].max(src, mode='drop')
+    inv = filled[..., :N]
+    return jnp.maximum(inv, 0), inv >= 0
+
+
+@jax.custom_vjp
+def inv_gather(x, idx_kn, inv, inv_mask):
+    '''K-major neighbor gather with a scatter-free backward.
+
+    out[b, k, n] = x[b, idx_kn[b, k, n]] -- identical values to
+    gather_nodes on the transposed index list. The VJP accumulates the
+    per-edge cotangent back onto atoms with inv_scatter_sum (a lax.scan of
+    K gathers whose sources are single (N, F) slices, the regime where TPU
+    gathers run at full rate) instead of an E-row scatter-add. The two ops
+    are mutually adjoint custom_vjps, so the pair is differentiable to any
+    order (force training's grad-of-grad included).
+
+    Args:
+        x: (B, N, ...) node features.
+        idx_kn, inv, inv_mask: (B, K, N) forward and inverse lists
+            (build_inverse_list).
+
+    Returns:
+        (B, K, N, ...) gathered neighbor features.
+    '''
+    return gather_nodes(x, idx_kn)
+
+
+def _inv_gather_fwd(x, idx_kn, inv, inv_mask):
+    return gather_nodes(x, idx_kn), (idx_kn, inv, inv_mask)
+
+
+def _inv_gather_bwd(res, cot):
+    idx_kn, inv, inv_mask = res
+    return inv_scatter_sum(cot, idx_kn, inv, inv_mask), None, None, None
+
+
+@jax.custom_vjp
+def inv_scatter_sum(y, idx_kn, inv, inv_mask):
+    '''Adjoint of inv_gather: out[b, j] = sum_{k,n: idx[b,k,n]=j} y[b,k,n].
+
+    Evaluated as a scan over the K slots: slot k contributes
+    where(inv_mask[k], y[k, inv[k]], 0), a gather whose source is the
+    single (N, F) slice y[:, k] -- small enough to stay resident, unlike
+    the E-sized source a transpose-permutation gather would need.
+    '''
+    B, K, N = idx_kn.shape
+    feat = y.shape[3:]
+    yk = jnp.moveaxis(y, 1, 0)                     # (K, B, N, *feat)
+    ik = jnp.moveaxis(inv, 1, 0)                   # (K, B, N)
+    mk = jnp.moveaxis(inv_mask, 1, 0)
+
+    def body(acc, sl):
+        ys, iv, m = sl
+        flat = ys.reshape(B, N, -1)
+        g = jnp.take_along_axis(flat, iv[..., None], axis=1,
+                                mode='promise_in_bounds')
+        g = jnp.where(m[..., None], g, 0)
+        return acc + g.reshape((B, N) + feat), None
+
+    acc0 = jnp.zeros((B, N) + feat, y.dtype)
+    out, _ = jax.lax.scan(body, acc0, (yk, ik, mk))
+    return out
+
+
+def _inv_scatter_fwd(y, idx_kn, inv, inv_mask):
+    return inv_scatter_sum(y, idx_kn, inv, inv_mask), (idx_kn, inv, inv_mask)
+
+
+def _inv_scatter_bwd(res, cot):
+    idx_kn, inv, inv_mask = res
+    # adjoint of the adjoint: the forward gather again. Invalid (masked)
+    # slots receive the value at their padding index, but every consumer
+    # multiplies edge quantities by the edge mask, and inside inv_gather's
+    # own VJP chain the masked slots carried zero cotangent to begin with.
+    return inv_gather(cot, idx_kn, inv, inv_mask), None, None, None
+
+
+inv_gather.defvjp(_inv_gather_fwd, _inv_gather_bwd)
+inv_scatter_sum.defvjp(_inv_scatter_fwd, _inv_scatter_bwd)
 
 
 def gather_nodes(x, idx):

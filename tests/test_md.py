@@ -248,3 +248,46 @@ def test_on_device_amortized_cellgrid_rebuild(rng):
     assert log['epot'].shape == (4,)  # single system: (n_logged,) not flat
     assert np.isfinite(log['epot']).all()
     assert np.isfinite(out.positions).all()
+
+
+def test_inverse_lists_md_matches_standard_driver():
+    '''Host-rebuild MD with symmetric-slotted inverse lists integrates the
+    exact same trajectory as the all-on-device amortized driver (same PRNG
+    key layout, same rebuild cadence, same skin semantics).'''
+    import numpy as np
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(0)
+    n = 48
+    L = (n / 0.02) ** (1 / 3)
+    cell = np.diag([L, L, L])
+    pos = rs.rand(n, 3) @ cell
+    numbers = rs.choice([1, 1, 8], size=n)
+
+    def fresh():
+        s = System(numbers, pos.copy(), cell=cell, pbc=[True] * 3)
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(0))
+        return s
+
+    results = {}
+    for invl in (False, True):
+        model = NewtonNet(graph_mode='neighborlist', k_max=40,
+                          inverse_lists=invl,
+                          output_properties=['energy', 'gradient_force'])
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(numbers[None], jnp.int32),
+            jnp.asarray(pos[None], jnp.float32),
+            jnp.asarray(cell[None], jnp.float32))
+        params = jax.tree.map(lambda x: x * 0.1, params)
+        s, log = run_langevin_on_device(
+            model, params, fresh(), timestep=0.5 * units.fs,
+            temperature_K=300, friction=0.02, n_steps=10, log_every=1,
+            nlist_every=5, seed=0)
+        results[invl] = (s.positions.copy(), log['epot'])
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               atol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-4)

@@ -123,3 +123,66 @@ def test_precomputed_reverse_lists(rng):
                                rtol=1e-12)
     np.testing.assert_allclose(out_in_step['gradient_force'],
                                out_pre['gradient_force'], atol=1e-12)
+
+
+def test_symmetrize_slots_involution():
+    '''Shared-slot re-coloring preserves the edge set and is a per-slot
+    involution (idx[idx[:, c], c] == arange wherever valid).'''
+    from newtonnet_tpu.ops.nlist import symmetrize_slots
+
+    z, pos, cell = _random_system(5, 2, 14, periodic=True)
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, 5.0, 13)
+    idx2, kmask2 = symmetrize_slots(np.asarray(idx), np.asarray(kmask))
+    assert int(kmask2.sum()) == int(kmask.sum())
+    for b in range(idx2.shape[0]):
+        ii = np.where(kmask2[b], idx2[b], np.arange(idx2.shape[1])[:, None])
+        np.testing.assert_array_equal(
+            np.take_along_axis(ii, ii, axis=0),
+            np.broadcast_to(np.arange(idx2.shape[1])[:, None], ii.shape))
+        # same undirected edge sets
+        for i in range(idx2.shape[1]):
+            s_old = {int(j) for k, j in enumerate(np.asarray(idx[b, i]))
+                     if kmask[b, i, k]}
+            s_new = {int(j) for k, j in enumerate(idx2[b, i])
+                     if kmask2[b, i, k]}
+            assert s_old == s_new
+
+
+def test_inverse_lists_match_plain(rng):
+    '''inverse_lists (scatter-free backward via symmetric-slotted lists)
+    == the plain path: values, forces, stress, and grad-of-force-loss.'''
+    from newtonnet_tpu.ops.nlist import symmetrize_slots
+
+    z, pos, cell = _random_system(6, 2, 12, periodic=True)
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, 5.0, 11)
+    idx2, kmask2 = symmetrize_slots(np.asarray(idx), np.asarray(kmask))
+    idx2 = jnp.asarray(idx2)
+    kmask2 = jnp.asarray(kmask2)
+    inv_kn = jnp.swapaxes(idx2, 1, 2)
+    invm_kn = jnp.swapaxes(kmask2, 1, 2)
+    common = dict(graph_mode='neighborlist', k_max=11, n_features=16,
+                  n_basis=8, n_interactions=2,
+                  output_properties=['energy', 'gradient_force', 'stress'],
+                  param_dtype=F64)
+    plain = NewtonNet(**common)
+    invm = NewtonNet(inverse_lists=True, **common)
+    params = plain.init(rng, z, pos, cell)
+    nl_p = (idx2, kmask2)
+    nl_i = (idx2, kmask2, inv_kn, invm_kn)
+    out_p = plain.apply(params, z, pos, cell, nlist=nl_p)
+    out_i = invm.apply(params, z, pos, cell, nlist=nl_i)
+    for key in ('energy', 'gradient_force', 'stress'):
+        np.testing.assert_allclose(out_p[key], out_i[key], atol=1e-12)
+
+    def loss(model, nl):
+        def f(p):
+            o = model.apply(p, z, pos, cell, nlist=nl)
+            return (jnp.sum(o['gradient_force'] ** 2)
+                    + jnp.sum(o['energy'] ** 2))
+        return f
+
+    g_p = jax.grad(loss(plain, nl_p))(params)
+    g_i = jax.grad(loss(invm, nl_i))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_i)):
+        np.testing.assert_allclose(a, b, atol=1e-10)
