@@ -177,10 +177,14 @@ def _apply_ef(model, params, z, pos, cell, nlist):
 
 
 def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
-    '''Build + shared-slot-recolor neighbor lists for the inverse_lists MD
-    path: returns the 4-tuple (idx, kmask, inv, inv_mask) the model expects
-    (inv lists in K-major orientation; for symmetric slots they are the
-    transposed forward lists). One native C++ pass per replica.
+    '''Build + recolor neighbor lists for the inverse_lists / newton3 MD
+    paths: returns the 4-tuple (idx, kmask, inv, inv_mask) the model
+    expects (inv lists in K-major orientation). One native C++ pass per
+    replica: shared-slot recoloring (native/symslots.cpp) for
+    inverse_lists, or Eulerian orientation + Konig half-list coloring
+    (native/newton3.cpp) when the model runs in newton3 mode -- there
+    model.k_max is the HALF-list slot capacity, so the full symmetric
+    list is built at 2*k_max + 8 capacity first.
     '''
     from newtonnet_tpu import native
     from newtonnet_tpu.ops.nlist import symmetrize_slots
@@ -188,7 +192,9 @@ def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
     z = np.asarray(z)
     cell = np.asarray(cell)
     M, N = z.shape
+    newton3 = getattr(model, 'newton3', False)
     k = model.k_max
+    k_full = 2 * k + 8 if newton3 else k
     idxs = np.zeros((M, N, k), np.int32)
     masks = np.zeros((M, N, k), bool)
     use_native = native.available() or native.ensure_built()
@@ -198,25 +204,36 @@ def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
             n_real = int((z[m] > 0).sum())
             idx_r, count, ovf = native.cell_list_neighbors(
                 pos[m, :n_real], cell[m] if cell[m].any() else None,
-                model.cutoff + skin, k)
+                model.cutoff + skin, k_full)
             if ovf:
                 raise ValueError(
-                    f'neighbor overflow ({ovf} atoms > k_max={k})')
-            idx = np.zeros((N, k), np.int32)
+                    f'neighbor overflow ({ovf} atoms > k_max={k_full})')
+            idx = np.zeros((N, k_full), np.int32)
             idx[:n_real] = idx_r
-            kmask = np.zeros((N, k), bool)
-            kmask[:n_real] = np.arange(k)[None, :] < count[:, None]
+            kmask = np.zeros((N, k_full), bool)
+            kmask[:n_real] = np.arange(k_full)[None, :] < count[:, None]
         else:  # pure-python fallback (tests without a toolchain)
             import jax as _jax
             from newtonnet_tpu.ops.nlist import neighbor_list
             idx_d, kmask_d, _, _ = _jax.jit(
                 lambda p, c, zz: neighbor_list(
-                    p, c, zz > 0, model.cutoff + skin, k,
+                    p, c, zz > 0, model.cutoff + skin, k_full,
                     mic_mode=model.mic_mode))(
                 jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
                 jnp.asarray(z[m][None]))
             idx, kmask = np.asarray(idx_d[0]), np.asarray(kmask_d[0])
-        idx2, kmask2 = symmetrize_slots(idx, kmask, k_max=k)
+        if newton3:
+            if use_native:
+                half = native.newton3_half_list_native(idx, kmask, k_out=k)
+                if half is None:
+                    raise ValueError(
+                        f'newton3 half list needs more than k_max={k} slots')
+                idx2, kmask2 = half
+            else:
+                from newtonnet_tpu.ops.nlist import newton3_half_list
+                idx2, kmask2 = newton3_half_list(idx, kmask, k_max=k)
+        else:
+            idx2, kmask2 = symmetrize_slots(idx, kmask, k_max=k)
         idxs[m], masks[m] = idx2, kmask2
     # minimal wire format: one sentinel-coded index array (invalid -> N),
     # int16 when it fits; mask and the K-major transposes are derived on
@@ -225,6 +242,8 @@ def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
     # immaterial but still free.
     sent = np.where(masks, idxs, N)
     wire = sent.astype(np.int16 if N < 2 ** 15 - 1 else np.int32)
+    if newton3:
+        return _unpack_newton3_nlist(jnp.asarray(wire))
     return _unpack_symmetric_nlist(jnp.asarray(wire))
 
 
@@ -235,6 +254,20 @@ def _unpack_symmetric_nlist(wire):
     mask = idx < n
     idx = jnp.where(mask, idx, 0)
     return (idx, mask, jnp.swapaxes(idx, 1, 2), jnp.swapaxes(mask, 1, 2))
+
+
+@jax.jit
+def _unpack_newton3_nlist(wire):
+    # a half list is not an involution: the K-major inverse lists are
+    # rebuilt on device (cheap: one scatter-max over the half list)
+    from newtonnet_tpu.ops.nlist import build_inverse_list
+    idx = wire.astype(jnp.int32)
+    n = wire.shape[1]
+    mask = idx < n
+    idx = jnp.where(mask, idx, 0)
+    inv, inv_mask = build_inverse_list(jnp.swapaxes(idx, 1, 2),
+                                       jnp.swapaxes(mask, 1, 2))
+    return (idx, mask, inv, inv_mask)
 
 
 def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
@@ -261,11 +294,14 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)
 
-    if (nlist_every > 1 and getattr(model, 'inverse_lists', False)
+    if (nlist_every > 1
+            and (getattr(model, 'inverse_lists', False)
+                 or getattr(model, 'newton3', False))
             and getattr(model, 'graph_mode', 'dense') == 'neighborlist'):
-        # host-rebuild mode: symmetric-slotted lists (scatter-free model
-        # backward) are recolored natively on the host per skin rebuild,
-        # so the trajectory advances in chunks of nlist_every dispatches
+        # host-rebuild mode: symmetric-slotted (or newton3 half) lists
+        # (scatter-free model backward) are recolored natively on the host
+        # per skin rebuild, so the trajectory advances in chunks of
+        # nlist_every dispatches
         assert n_steps % nlist_every == 0
         kB_T = float(kB * temperature_K)
         z_j = jnp.asarray(z)

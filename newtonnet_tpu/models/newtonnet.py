@@ -72,6 +72,9 @@ class NeighborEdges(NamedTuple):
     kmajor: bool = False
     inv: jnp.ndarray = None        # (B, K, N) inverse lists (kmajor only)
     inv_mask: jnp.ndarray = None   # (B, K, N)
+    newton3: bool = False  # idx is an oriented HALF list: each undirected
+    # edge stored once; layers aggregate onto both endpoints (out side by
+    # the dense slot sum, in side via inv_scatter_sum)
 
 
 def _torch_uniform_init(bound):
@@ -142,6 +145,11 @@ class InteractionNet(nn.Module):
     reverse_lists: bool = False  # gather-only backward via transpose lists
     inverse_lists: bool = False  # scatter-free backward via inverse lists
     # (K-major layout; see ops/nlist.inv_gather)
+    first_layer: bool = False  # the stack's first layer sees force_node
+    # identically zero (EmbeddingNet inits it to zeros, ref newtonnet.py:143),
+    # so phi2's equivariant message vanishes: skip its compute (and the 3F
+    # force part of the fused neighbor gather) while still creating the
+    # phi2 parameters so the tree matches the reference layer-for-layer
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,7 +216,8 @@ class InteractionNet(nn.Module):
         elif self.reverse_lists:
             def gather_j(x):
                 return edge_gather(x, edges.idx, edges.rev, edges.rev_mask)
-        elif self.inverse_lists and edges.kmajor and edges.inv is not None:
+        elif ((self.inverse_lists or edges.newton3) and edges.kmajor
+              and edges.inv is not None):
             from newtonnet_tpu.ops.nlist import inv_gather
 
             def gather_j(x):
@@ -231,7 +240,7 @@ class InteractionNet(nn.Module):
         if dense:
             nodepart_j = gather_cols(message_nodepart)[:, None, :, :]
             cat_j = None
-        elif impl == 'unroll':
+        elif impl == 'unroll' and not self.first_layer:
             # TPU row gathers are overhead-bound per row (PERF_NOTES.md:
             # ~28 GB/s effective), so the layer's four neighbor gathers
             # (nodepart + three force components) are fused into ONE
@@ -267,10 +276,15 @@ class InteractionNet(nn.Module):
                  for d in range(3)], axis=2)
 
         # equivariant message 2: phi2(m_ij) * force_node_j  (ref :222-224)
-        phi2 = MLP([f, f], self.activation, use_bias=False,
-                   param_dtype=self.param_dtype,
-                   name='equiv_message2')(message) * w
-        if dense:
+        phi2_mlp = MLP([f, f], self.activation, use_bias=False,
+                       param_dtype=self.param_dtype, name='equiv_message2')
+        if self.first_layer:
+            # force_node is identically zero here, so equiv2 == 0; apply
+            # phi2 to a unit slice only to create its (identical) params
+            _ = phi2_mlp(jnp.zeros((1, 1, 1, f), message.dtype))
+            equiv2 = jnp.zeros_like(equiv1)
+        elif dense:
+            phi2 = phi2_mlp(message) * w
             force_all = gather_cols(force_node)
             if impl == 'dot':
                 equiv2 = jnp.einsum('bijf,bjdf->bidf', phi2, force_all)
@@ -282,6 +296,7 @@ class InteractionNet(nn.Module):
                     [jnp.sum(phi2 * force_all[:, None, :, d, :], axis=2)
                      for d in range(3)], axis=2)
         else:
+            phi2 = phi2_mlp(message) * w
             if impl == 'dot':
                 force_j = gather_j(force_node)  # (B, N, K, 3, F)
                 equiv2 = jnp.einsum('bnkf,bnkdf->bndf', phi2, force_j)
@@ -295,8 +310,39 @@ class InteractionNet(nn.Module):
                              axis=jaxis)
                      for d in range(3)], axis=2)
 
+        if (not dense) and edges.newton3:
+            # Newton's-third-law in-side aggregation: every per-edge
+            # quantity above was computed once for the stored (out)
+            # orientation; the mirrored contribution onto the neighbor j is
+            #   invariant:  +message          (m_ij == m_ji: the invariant
+            #                                  message is symmetric)
+            #   equivariant: -phi1 * dir_ij   (dir_ji = -dir_ij)
+            #                +phi2 * f_i      (the roles of i and j swap)
+            # All four F-wide pieces ride ONE fused inv_scatter_sum scan
+            # (the same scatter-free machinery as the backward; the slot
+            # coloring of newton3_half_list guarantees its exactness).
+            from newtonnet_tpu.ops.nlist import inv_scatter_sum
+            if self.first_layer:
+                mirror = [message] + [-phi1 * edges.dir[..., d:d + 1]
+                                      for d in range(3)]
+            else:
+                mirror = [message]
+                f_i = force_node[:, None]  # (B, 1, N, 3, F)
+                for d in range(3):
+                    mirror.append(phi2 * f_i[..., d, :]
+                                  - phi1 * edges.dir[..., d:d + 1])
+            S = inv_scatter_sum(jnp.concatenate(mirror, axis=-1),
+                                edges.idx, edges.inv, edges.inv_mask)
+            atom_node = atom_node + S[..., :f]
+            equiv_in = jnp.stack(
+                [S[..., (d + 1) * f:(d + 2) * f] for d in range(3)], axis=2)
+        else:
+            equiv_in = None
+
         # equivariant update: sum over j (inside the einsums)  (ref :226-227)
         force_node = force_node + equiv1 + equiv2
+        if equiv_in is not None:
+            force_node = force_node + equiv_in
 
         # invariant update from force norm  (ref :230-231)
         equiv_update = TorchLinear(f, use_bias=False,
@@ -380,6 +426,12 @@ class NewtonNetCore(nn.Module):
     inverse_lists: bool = False  # scatter-free backward via K-major inverse
     # lists (ops/nlist.inv_gather); pays when the lists amortize over MD
     # skin rebuilds or the several scatters of a multi-layer train step
+    newton3: bool = False      # Newton's-third-law half lists: nlist is an
+    # oriented, slot-colored HALF edge list (ops/nlist.newton3_half_list);
+    # each undirected edge is computed once and aggregated onto both
+    # endpoints -- ~2x fewer gather rows and pair-MLP FLOPs. Implies the
+    # K-major layout and requires a precomputed half nlist 4-tuple; without
+    # one (e.g. during init) the model falls back to the plain full list
     compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
     # precision: bf16 interaction stack (the HBM-bound pair tensors at half
     # traffic), fp32 graph build, heads and aggregation
@@ -454,7 +506,7 @@ class NewtonNetCore(nn.Module):
                 # rebuilt every step). Precomputed inverse lists are in the
                 # K-major (B, K, N) orientation of build_inverse_list.
                 pre_rev = pre_inv = None
-                if len(nlist) == 4 and self.inverse_lists:
+                if len(nlist) == 4 and (self.inverse_lists or self.newton3):
                     idx, kmask, *pre_inv = nlist
                 elif len(nlist) == 4:
                     idx, kmask, *pre_rev = nlist
@@ -504,9 +556,9 @@ class NewtonNetCore(nn.Module):
                   and not self.shard_axis and not self.reverse_lists
                   and _os.environ.get('NEWTONNET_EINSUM_IMPL', 'unroll')
                   == 'unroll')
-            if self.inverse_lists and not kn:
+            if (self.inverse_lists or self.newton3) and not kn:
                 raise ValueError(
-                    'inverse_lists requires the K-major edge layout '
+                    'inverse_lists/newton3 require the K-major edge layout '
                     '(no sharding/reverse_lists, NEWTONNET_EDGE_LAYOUT=kn, '
                     'NEWTONNET_EINSUM_IMPL=unroll)')
             if kn and pre_inv is None:  # pre_inv path is already K-major
@@ -515,7 +567,7 @@ class NewtonNetCore(nn.Module):
                 dir_edge = jnp.swapaxes(dir_edge, 1, 2)
                 rbf = jnp.swapaxes(rbf, 1, 2)
             inv = inv_mask = None
-            if self.inverse_lists:
+            if self.inverse_lists or self.newton3:
                 # Exactness requires per-slot injectivity (no two atoms
                 # sharing a neighbor at the same slot), which top_k slotting
                 # does NOT give -- only symmetric-slotted host-built lists
@@ -532,7 +584,8 @@ class NewtonNetCore(nn.Module):
                     inv, inv_mask = pre_inv
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,
                                   rev=rev, rev_mask=rev_mask, kmajor=kn,
-                                  inv=inv, inv_mask=inv_mask)
+                                  inv=inv, inv_mask=inv_mask,
+                                  newton3=self.newton3 and pre_inv is not None)
         else:
             raise ValueError(f'unknown graph_mode {self.graph_mode}')
 
@@ -546,12 +599,15 @@ class NewtonNetCore(nn.Module):
             edges = edges._replace(dir=edges.dir.astype(cd),
                                    rbf=edges.rbf.astype(cd))
         for i in range(self.n_interactions):
-            layer_cls = nn.remat(InteractionNet) if remat else InteractionNet
+            # static_argnums: `edges` (arg 2 after self) carries static
+            # Python bools (kmajor/newton3) alongside arrays
+            layer_cls = (nn.remat(InteractionNet, static_argnums=(3,))
+                         if remat else InteractionNet)
             atom_node, force_node = layer_cls(
                 n_features=self.n_features, activation=act,
                 layer_norm=self.layer_norm, shard_axis=self.shard_axis,
                 halo=self.halo, reverse_lists=self.reverse_lists,
-                inverse_lists=self.inverse_lists,
+                inverse_lists=self.inverse_lists, first_layer=(i == 0),
                 param_dtype=self.param_dtype,
                 name=f'interaction_{i}')(atom_node, force_node, edges)
         if self.compute_dtype:

@@ -63,6 +63,7 @@ class NewtonNet:
             cell_capacity: int = 0,
             reverse_lists: bool = False,
             inverse_lists: bool = False,
+            newton3: bool = False,
             compute_dtype: str = '',
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
@@ -101,6 +102,7 @@ class NewtonNet:
         self.cell_capacity = cell_capacity
         self.reverse_lists = reverse_lists
         self.inverse_lists = inverse_lists
+        self.newton3 = newton3
         self.compute_dtype = compute_dtype
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
@@ -124,7 +126,8 @@ class NewtonNet:
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
             cell_grid=tuple(cell_grid), cell_capacity=cell_capacity,
             reverse_lists=reverse_lists, inverse_lists=inverse_lists,
-            compute_dtype=compute_dtype, param_dtype=param_dtype)
+            newton3=newton3, compute_dtype=compute_dtype,
+            param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -147,6 +150,7 @@ class NewtonNet:
             'cell_capacity': self.cell_capacity,
             'reverse_lists': self.reverse_lists,
             'inverse_lists': self.inverse_lists,
+            'newton3': self.newton3,
             'compute_dtype': self.compute_dtype,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,

@@ -29,6 +29,13 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, 'newton3_half_list'):
+        # stale .so predating newton3.cpp: force a rebuild and reload
+        subprocess.run(['make', '-C', _NATIVE_DIR, '-B'],
+                       capture_output=True, check=False)
+        lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, 'newton3_half_list'):
+            return None
     lib.xyz_parse.restype = ctypes.c_void_p
     lib.xyz_parse.argtypes = [ctypes.c_char_p]
     lib.xyz_error.restype = ctypes.c_char_p
@@ -51,6 +58,8 @@ def _load():
     lib.symmetrize_slots.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+    lib.newton3_half_list.restype = ctypes.c_int64
+    lib.newton3_half_list.argtypes = lib.symmetrize_slots.argtypes
     _lib = lib
     return lib
 
@@ -158,6 +167,41 @@ def symmetrize_slots_native(idx, kmask, k_out):
     idx2 = np.zeros((n, k_out), np.int32)
     mask2 = np.zeros((n, k_out), np.uint8)
     slots = lib.symmetrize_slots(
+        idx.ctypes.data, kmask.ctypes.data, n, k_in, k_out,
+        idx2.ctypes.data, mask2.ctypes.data)
+    if slots < 0:
+        return None
+    return idx2, mask2.astype(bool)
+
+
+def newton3_half_list_native(idx, kmask, k_out=0):
+    '''Newton's-third-law half list of one frame's symmetric neighbor list.
+
+    Orients each undirected edge (Eulerian trails) and Konig-colors the
+    oriented edges so no two out-edges of i and no two in-edges of j share
+    a slot (native/newton3.cpp; the exactness condition of the model's
+    newton3 mode). k_out=0 sizes the output at the Konig optimum
+    max(out-degree, in-degree) via a probe call. Returns (idx2, kmask2) of
+    shape (N, k2), or None if a requested k_out is too small.
+    '''
+    lib = _load()
+    if lib is None:
+        raise RuntimeError('native library not built (run make -C native)')
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    kmask = np.ascontiguousarray(kmask, dtype=np.uint8)
+    n, k_in = idx.shape
+    if k_out <= 0:
+        probe_i = np.zeros((n, k_in), np.int32)
+        probe_m = np.zeros((n, k_in), np.uint8)
+        k_out = int(lib.newton3_half_list(
+            idx.ctypes.data, kmask.ctypes.data, n, k_in, k_in,
+            probe_i.ctypes.data, probe_m.ctypes.data))
+        if k_out < 0:  # cannot happen: half list never needs > k_in slots
+            return None
+        return probe_i[:, :k_out], probe_m[:, :k_out].astype(bool)
+    idx2 = np.zeros((n, k_out), np.int32)
+    mask2 = np.zeros((n, k_out), np.uint8)
+    slots = lib.newton3_half_list(
         idx.ctypes.data, kmask.ctypes.data, n, k_in, k_out,
         idx2.ctypes.data, mask2.ctypes.data)
     if slots < 0:

@@ -291,3 +291,48 @@ def test_inverse_lists_md_matches_standard_driver():
                                atol=1e-5)
     np.testing.assert_allclose(results[True][1], results[False][1],
                                atol=1e-4)
+
+
+def test_newton3_md_matches_standard_driver():
+    '''Host-rebuild MD with newton3 half lists (each undirected edge
+    computed once) integrates the same trajectory as the all-on-device
+    amortized driver with full lists.'''
+    import numpy as np
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(1)
+    n = 48
+    L = (n / 0.02) ** (1 / 3)
+    cell = np.diag([L, L, L])
+    pos = rs.rand(n, 3) @ cell
+    numbers = rs.choice([1, 1, 8], size=n)
+
+    def fresh():
+        s = System(numbers, pos.copy(), cell=cell, pbc=[True] * 3)
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(0))
+        return s
+
+    results = {}
+    for n3 in (False, True):
+        # k_max: full-list capacity when plain, HALF-list capacity under
+        # newton3 (max(out, in)-degree of the Konig coloring + slack)
+        model = NewtonNet(graph_mode='neighborlist', k_max=24 if n3 else 40,
+                          newton3=n3,
+                          output_properties=['energy', 'gradient_force'])
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(numbers[None], jnp.int32),
+            jnp.asarray(pos[None], jnp.float32),
+            jnp.asarray(cell[None], jnp.float32))
+        params = jax.tree.map(lambda x: x * 0.1, params)
+        s, log = run_langevin_on_device(
+            model, params, fresh(), timestep=0.5 * units.fs,
+            temperature_K=300, friction=0.02, n_steps=10, log_every=1,
+            nlist_every=5, seed=0)
+        results[n3] = (s.positions.copy(), log['epot'])
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               atol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-4)

@@ -186,3 +186,79 @@ def test_inverse_lists_match_plain(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_p),
                     jax.tree_util.tree_leaves(g_i)):
         np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_newton3_half_list_structure():
+    '''newton3_half_list stores each undirected edge exactly once, per-slot
+    maps are injective on BOTH sides (out rows by construction, in rows via
+    the Koenig coloring), and the slot count hits the Koenig Delta bound.'''
+    from newtonnet_tpu.ops.nlist import newton3_half_list
+
+    z, pos, cell = _random_system(7, 2, 16, periodic=True)
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, 5.0, 15)
+    idxn, kmn = np.asarray(idx), np.asarray(kmask)
+    idx2, m2 = newton3_half_list(idxn, kmn)
+    B, N, K2 = idx2.shape
+    for b in range(B):
+        full = set()
+        for i in range(N):
+            for k in range(idxn.shape[2]):
+                if kmn[b, i, k]:
+                    j = int(idxn[b, i, k])
+                    full.add((min(i, j), max(i, j)))
+        half = [(min(i, int(idx2[b, i, k])), max(i, int(idx2[b, i, k])))
+                for i in range(N) for k in range(K2) if m2[b, i, k]]
+        assert len(half) == len(set(half)) == len(full)
+        assert set(half) == full
+        # in-side injectivity: within each slot k, no target atom repeats
+        for k in range(K2):
+            tgt = idx2[b, :, k][m2[b, :, k]]
+            assert len(tgt) == len(set(tgt.tolist()))
+    # Koenig bound (K2 is padded to the batch max, so check globally):
+    # K2 == max over batches of max(out-degree, in-degree)
+    delta = max(max(m2[b].sum(axis=1).max(),
+                    np.bincount(idx2[b][m2[b]].ravel(), minlength=N).max())
+                for b in range(B))
+    assert K2 == delta
+
+
+def test_newton3_matches_plain(rng):
+    '''newton3 half-list path (each undirected edge computed once,
+    aggregated onto both endpoints) == the plain full-list path: values,
+    forces, stress, and grad-of-force-loss.'''
+    from newtonnet_tpu.ops.nlist import build_inverse_list, newton3_half_list
+
+    z, pos, cell = _random_system(8, 2, 12, periodic=True)
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, 5.0, 11)
+    idx2, m2 = newton3_half_list(np.asarray(idx), np.asarray(kmask))
+    K2 = idx2.shape[-1]
+    idx2 = jnp.asarray(idx2)
+    m2 = jnp.asarray(m2)
+    inv_kn, invm_kn = build_inverse_list(jnp.swapaxes(idx2, 1, 2),
+                                         jnp.swapaxes(m2, 1, 2))
+    common = dict(graph_mode='neighborlist', n_features=16,
+                  n_basis=8, n_interactions=3,
+                  output_properties=['energy', 'gradient_force', 'stress'],
+                  param_dtype=F64)
+    plain = NewtonNet(k_max=11, **common)
+    n3 = NewtonNet(k_max=K2, newton3=True, **common)
+    params = plain.init(rng, z, pos, cell)
+    nl_p = (idx, kmask)
+    nl_3 = (idx2, m2, inv_kn, invm_kn)
+    out_p = plain.apply(params, z, pos, cell, nlist=nl_p)
+    out_3 = n3.apply(params, z, pos, cell, nlist=nl_3)
+    for key in ('energy', 'gradient_force', 'stress'):
+        np.testing.assert_allclose(out_p[key], out_3[key], atol=1e-11)
+
+    def loss(model, nl):
+        def f(p):
+            o = model.apply(p, z, pos, cell, nlist=nl)
+            return (jnp.sum(o['gradient_force'] ** 2)
+                    + jnp.sum(o['energy'] ** 2))
+        return f
+
+    g_p = jax.grad(loss(plain, nl_p))(params)
+    g_3 = jax.grad(loss(n3, nl_3))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_3)):
+        np.testing.assert_allclose(a, b, atol=1e-9)
