@@ -51,14 +51,19 @@ def cosine_cutoff(dist):
     return 0.5 * (jnp.cos(dist * jnp.pi) + 1.0)
 
 
-def radial_bessel(dist, n_basis=20):
+def radial_bessel(dist, n_basis=20, frequencies=None):
     '''Radial Bessel basis sin(k pi d)/d for k = 1..n_basis (ref :233).
 
     Args:
         dist: (..., 1) scaled distances in [0, 1).
+        frequencies: optional (n_basis,) frequency vector overriding the
+            fixed k*pi grid -- used by the trainable_basis model option
+            (the reference freezes them, ref :220 requires_grad=False;
+            NewtonNet variants that train them start from the same init).
 
     Returns:
         (..., n_basis) basis values.
     '''
-    frequencies = jnp.arange(1, n_basis + 1, dtype=dist.dtype) * jnp.pi
-    return jnp.sin(frequencies * dist) / dist
+    if frequencies is None:
+        frequencies = jnp.arange(1, n_basis + 1, dtype=dist.dtype) * jnp.pi
+    return jnp.sin(frequencies.astype(dist.dtype) * dist) / dist

@@ -435,6 +435,9 @@ class NewtonNetCore(nn.Module):
     compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
     # precision: bf16 interaction stack (the HBM-bound pair tensors at half
     # traffic), fp32 graph build, heads and aggregation
+    trainable_basis: bool = False  # train the Bessel frequencies (init at
+    # the reference's fixed k*pi grid, ref representations.py:220 freezes
+    # them with requires_grad=False; some NewtonNet variants train them)
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -468,6 +471,13 @@ class NewtonNetCore(nn.Module):
         atom_node = embedding[z].astype(pos.dtype) * fmask  # (B, N, F)
         force_node = jnp.zeros(z.shape + (3, self.n_features), pos.dtype)
 
+        bessel_freq = None
+        if self.trainable_basis:
+            bessel_freq = self.param(
+                'bessel_frequencies',
+                lambda k, s, d: jnp.arange(1, s[0] + 1, dtype=d) * jnp.pi,
+                (self.n_basis,), self.param_dtype)
+
         # edge embedding (ref EmbeddingNet:159 -> representations.py:20-43)
         if self.graph_mode == 'dense':
             if self.shard_axis:
@@ -478,7 +488,8 @@ class NewtonNetCore(nn.Module):
                 disp, adj = dense_graph(pos, cell, atom_mask, self.cutoff,
                                         mic_mode=self.mic_mode)
             dist, dir_edge = scaled_norm(disp, self.cutoff)
-            rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+            rbf = polynomial_cutoff(dist) * radial_bessel(
+                dist, self.n_basis, frequencies=bessel_freq)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
         elif self.graph_mode == 'neighborlist':
             pre_rev = pre_inv = None
@@ -541,7 +552,8 @@ class NewtonNetCore(nn.Module):
                     pos, cell, atom_mask, self.cutoff, self.k_max,
                     mic_mode=self.mic_mode)
             dist, dir_edge = scaled_norm(disp, self.cutoff)
-            rbf = polynomial_cutoff(dist) * radial_bessel(dist, self.n_basis)
+            rbf = polynomial_cutoff(dist) * radial_bessel(
+                dist, self.n_basis, frequencies=bessel_freq)
             if self.reverse_lists:
                 # stale-pair tightening of kmask (above) does not require
                 # re-deriving rev/rev_mask: a stale edge's cotangent is

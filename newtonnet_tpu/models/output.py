@@ -65,6 +65,7 @@ class NewtonNet:
             inverse_lists: bool = False,
             newton3: bool = False,
             compute_dtype: str = '',
+            trainable_basis: bool = False,
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             ewald_mode: str = 'auto',
@@ -104,6 +105,7 @@ class NewtonNet:
         self.inverse_lists = inverse_lists
         self.newton3 = newton3
         self.compute_dtype = compute_dtype
+        self.trainable_basis = trainable_basis
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.ewald_mode = ewald_mode
@@ -127,7 +129,7 @@ class NewtonNet:
             cell_grid=tuple(cell_grid), cell_capacity=cell_capacity,
             reverse_lists=reverse_lists, inverse_lists=inverse_lists,
             newton3=newton3, compute_dtype=compute_dtype,
-            param_dtype=param_dtype)
+            trainable_basis=trainable_basis, param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
@@ -152,6 +154,7 @@ class NewtonNet:
             'inverse_lists': self.inverse_lists,
             'newton3': self.newton3,
             'compute_dtype': self.compute_dtype,
+            'trainable_basis': self.trainable_basis,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,
             'pallas_dot_dtype': self.pallas_dot_dtype,

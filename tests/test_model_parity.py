@@ -137,3 +137,32 @@ def test_hessian_matches_fd(rng):
     fd = -(np.asarray(fp['gradient_force'][0])
            - np.asarray(fm['gradient_force'][0])) / (2 * eps)
     np.testing.assert_allclose(h[i, d], fd, rtol=1e-5, atol=1e-6)
+
+
+def test_trainable_basis(rng):
+    '''trainable_basis=True initializes the Bessel frequencies at the
+    reference's fixed k*pi grid (identical outputs at init) and lets
+    gradients flow into them.'''
+    z, pos, cell, *_ = make_batch(rng, [4, 5], n_pad=6)
+    common = dict(n_features=8, n_basis=4, n_interactions=1,
+                  output_properties=['energy', 'gradient_force'],
+                  param_dtype=F64)
+    frozen = NewtonNet(**common)
+    trainable = NewtonNet(trainable_basis=True, **common)
+    p_t = trainable.init(rng, z, pos, cell)
+    freqs = p_t['params']['bessel_frequencies']
+    np.testing.assert_allclose(np.asarray(freqs),
+                               np.arange(1, 5) * np.pi, rtol=1e-12)
+    p_f = jax.tree.map(lambda x: x, p_t)
+    del p_f['params']['bessel_frequencies']
+    out_f = frozen.apply(p_f, z, pos, cell)
+    out_t = trainable.apply(p_t, z, pos, cell)
+    np.testing.assert_allclose(out_f['energy'], out_t['energy'], rtol=1e-12)
+
+    def loss(p):
+        o = trainable.apply(p, z, pos, cell)
+        return jnp.sum(o['energy'] ** 2) + jnp.sum(o['gradient_force'] ** 2)
+
+    g = jax.grad(loss)(p_t)['params']['bessel_frequencies']
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
