@@ -66,6 +66,7 @@ class NewtonNet:
             newton3: bool = False,
             compute_dtype: str = '',
             trainable_basis: bool = False,
+            hessian_block: int = 0,
             ewald_sigma: float = 1.0,
             ewald_n_k: int = 8,
             ewald_mode: str = 'auto',
@@ -106,6 +107,7 @@ class NewtonNet:
         self.newton3 = newton3
         self.compute_dtype = compute_dtype
         self.trainable_basis = trainable_basis
+        self.hessian_block = hessian_block  # >0: lax.map-blocked HVP lanes
         self.ewald_sigma = ewald_sigma
         self.ewald_n_k = ewald_n_k
         self.ewald_mode = ewald_mode
@@ -155,6 +157,7 @@ class NewtonNet:
             'newton3': self.newton3,
             'compute_dtype': self.compute_dtype,
             'trainable_basis': self.trainable_basis,
+            'hessian_block': self.hessian_block,
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,
             'pallas_dot_dtype': self.pallas_dot_dtype,
@@ -263,11 +266,36 @@ class NewtonNet:
         vmap-of-VJP over eye(3N) rows (ref output.py:142-151); graphs are
         independent, so the Hessian is computed per graph under vmap to
         avoid the (BN3)^2 cross-graph zero blocks.
+
+        hessian_block > 0 computes the 3N tangent lanes in lax.map blocks
+        of that many HVP columns (jvp of the force function) instead of
+        all at once: live memory drops from 3N x (tangent state) to
+        block x (tangent state), which is what makes Hessians of
+        large systems fit on one chip. Exact -- the lanes are independent.
         '''
+        block = int(self.hessian_block)
+
         def single(z1, pos1, cell1):
-            return jax.jacfwd(
-                lambda p: self._single_graph_pos_grad(params, z1, p, cell1)
-            )(pos1)
+            grad_fn = lambda p: self._single_graph_pos_grad(  # noqa: E731
+                params, z1, p, cell1)
+            n = pos1.shape[0]
+            if block <= 0 or block >= 3 * n:
+                return jax.jacfwd(grad_fn)(pos1)
+            n_blocks = -(-3 * n // block)
+            seeds = jnp.eye(3 * n, dtype=pos1.dtype)
+            seeds = jnp.pad(seeds, ((0, n_blocks * block - 3 * n), (0, 0)))
+            seeds = seeds.reshape(n_blocks, block, n, 3)
+
+            def one_block(vs):
+                return jax.vmap(
+                    lambda v: jax.jvp(grad_fn, (pos1,), (v,))[1])(vs)
+
+            rows = jax.lax.map(one_block, seeds)  # (n_blocks, block, N, 3)
+            rows = rows.reshape(n_blocks * block, n, 3)[:3 * n]
+            # rows[c, j, d] = d grad[j, d] / d pos_c: move the seed axis
+            # last to match jacfwd's (output, direction) = (N, 3, N, 3)
+            return rows.reshape(n, 3, n, 3).transpose(2, 3, 0, 1)
+
         return jax.vmap(single)(z, pos, cell)
 
     def _bec(self, params, z, pos, cell, charge):

@@ -166,3 +166,19 @@ def test_trainable_basis(rng):
     g = jax.grad(loss)(p_t)['params']['bessel_frequencies']
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_hessian_block_matches_full(rng):
+    '''hessian_block (lax.map-blocked HVP lanes) == the all-at-once
+    jacfwd Hessian, including a block size that does not divide 3N.'''
+    z, pos, cell, *_ = make_batch(rng, [5], n_pad=5)
+    common = dict(n_features=8, n_basis=4, n_interactions=2,
+                  output_properties=['energy', 'hessian'], param_dtype=F64)
+    full = NewtonNet(**common)
+    blocked = NewtonNet(hessian_block=4, **common)  # 15 lanes -> 4 blocks
+    params = full.init(rng, z, pos, cell)
+    h_full = full.apply(params, z, pos, cell)['hessian']
+    h_blk = jax.jit(lambda p: blocked.apply(p, z, pos, cell)['hessian'])(
+        params)
+    np.testing.assert_allclose(np.asarray(h_blk), np.asarray(h_full),
+                               atol=1e-11)

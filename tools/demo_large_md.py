@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 
-def main(n_atoms=4096, n_steps=100, k_max=128, nlist_every=10):
+def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
+         mode='newton3'):
+    # mode: 'newton3' (default -- half lists, host-rebuilt, fastest),
+    # 'inverse' (symmetric-slotted full lists, host-rebuilt), or 'plain'
+    # (full lists rebuilt in-jit on device). k_max=0 picks a default per
+    # mode (half-list capacity is ~max degree/2 + slack).
     from newtonnet_tpu.data import units
     from newtonnet_tpu.md.driver import run_langevin_on_device
     from newtonnet_tpu.md.system import System, maxwell_boltzmann
@@ -37,7 +42,12 @@ def main(n_atoms=4096, n_steps=100, k_max=128, nlist_every=10):
     system = System(numbers, pos, cell=cell, pbc=[True] * 3)
     maxwell_boltzmann(system, 300.0, rng=np.random.default_rng(0))
 
+    if not k_max:
+        k_max = {'newton3': 56, 'inverse': 112, 'plain': 128}[mode]
     model = NewtonNet(graph_mode='neighborlist', k_max=k_max,
+                      newton3=(mode == 'newton3'),
+                      inverse_lists=(mode == 'inverse'),
+                      compute_dtype='bfloat16',
                       output_properties=['energy', 'gradient_force'])
     z = jnp.asarray(numbers[None], jnp.int32)
     params = model.init(jax.random.PRNGKey(0), z, jnp.asarray(pos[None],
@@ -47,7 +57,7 @@ def main(n_atoms=4096, n_steps=100, k_max=128, nlist_every=10):
     params = jax.tree.map(lambda x: x * 0.1, params)
 
     _, kmask, _, ovf = jax.jit(
-        lambda p, c, m: neighbor_list(p, c, m, 5.0, k_max))(
+        lambda p, c, m: neighbor_list(p, c, m, 5.0, 128))(
             jnp.asarray(pos[None], jnp.float32),
             jnp.asarray(cell[None], jnp.float32), z > 0)
     edges = int(jnp.sum(kmask))
@@ -75,4 +85,4 @@ def main(n_atoms=4096, n_steps=100, k_max=128, nlist_every=10):
 
 
 if __name__ == '__main__':
-    main(*(int(a) for a in sys.argv[1:]))
+    main(*(a if a.isalpha() else int(a) for a in sys.argv[1:]))
