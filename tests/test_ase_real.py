@@ -1,0 +1,77 @@
+'''Real-ASE integration: MLAseCalculator driven by an actually-installed
+ASE through ase.md Langevin dynamics and ase.optimize BFGS.
+
+This image does not ship ASE, so the whole module skips here; it runs
+unchanged in any environment with ASE installed (pip install ase), which
+is how the bridge (newtonnet_tpu/utils/ase_interface.py, mirroring
+reference newtonnet/utils/ase_interface.py:18-81) is meant to be
+exercised. The stubbed-ASE surface test lives in test_cli_and_misc.py.
+'''
+import os
+
+import numpy as np
+import pytest
+
+ase = pytest.importorskip('ase')
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+CKPT = os.path.join(HERE, '..', 'runs', 'md17_model', 'training_1',
+                    'models', 'best_model.msgpack')
+
+
+@pytest.fixture(scope='module')
+def aspirin_atoms():
+    from ase import Atoms
+
+    from newtonnet_tpu.data.xyz import read_extxyz
+    frame = read_extxyz(os.path.join(
+        HERE, '..', 'data', 'md17_aspirin', 'ccsd_test', 'raw',
+        'aspirin_ccsd-test.xyz'), index=0)
+    return Atoms(numbers=frame['z'], positions=frame['pos'])
+
+
+@pytest.fixture(scope='module')
+def calculator():
+    from newtonnet_tpu.utils.ase_interface import MLAseCalculator
+    if not os.path.exists(CKPT):
+        pytest.skip('trained checkpoint artifact not present')
+    return MLAseCalculator(model_path=CKPT,
+                           properties=['energy', 'forces'])
+
+
+def test_ase_energy_forces(aspirin_atoms, calculator):
+    aspirin_atoms.calc = calculator
+    e = aspirin_atoms.get_potential_energy()
+    f = aspirin_atoms.get_forces()
+    assert np.isfinite(e)
+    assert f.shape == (len(aspirin_atoms), 3)
+    assert np.isfinite(f).all()
+    # trained model: net force ~ 0 (translation invariance)
+    np.testing.assert_allclose(f.sum(axis=0), 0.0, atol=1e-3)
+
+
+def test_ase_md_langevin(aspirin_atoms, calculator):
+    from ase import units
+    from ase.md.langevin import Langevin
+    from ase.md.velocitydistribution import MaxwellBoltzmannDistribution
+
+    atoms = aspirin_atoms.copy()
+    atoms.calc = calculator
+    MaxwellBoltzmannDistribution(atoms, temperature_K=300)
+    dyn = Langevin(atoms, timestep=0.5 * units.fs, temperature_K=300,
+                   friction=0.02)
+    e0 = atoms.get_potential_energy()
+    dyn.run(20)
+    e1 = atoms.get_potential_energy()
+    assert np.isfinite(e1)
+    assert abs(e1 - e0) < 5.0  # stable short trajectory, no blowup
+
+
+def test_ase_optimize_bfgs(aspirin_atoms, calculator):
+    from ase.optimize import BFGS
+
+    atoms = aspirin_atoms.copy()
+    atoms.calc = calculator
+    fmax0 = np.abs(atoms.get_forces()).max()
+    BFGS(atoms, logfile=None).run(fmax=max(0.05, fmax0 / 2), steps=50)
+    assert np.abs(atoms.get_forces()).max() <= max(0.05, fmax0 / 2) + 1e-8
