@@ -8,9 +8,12 @@
 // halves gather rows, pair-MLP FLOPs, and backward traffic.
 //
 // Two phases (mirrors newtonnet_tpu/ops/nlist.py: newton3_half_list):
-//   1. Eulerian orientation: walk Eulerian trails over the undirected
-//      radius graph; following a trail alternates in/out at every interior
-//      node, so each node's out-degree lands at ceil(deg/2) or floor.
+//   1. Eulerian orientation: odd-degree vertices are paired with virtual
+//      edges (making every component Eulerian), then Eulerian circuits
+//      are walked -- each visit enters and leaves a node, so out-degree
+//      == in-degree == deg'/2 exactly; dropping the virtual edges leaves
+//      both <= ceil(deg/2). (Plain trails without the augmentation can
+//      restart at a node and pile up out-edges there.)
 //   2. Konig bipartite edge coloring of the oriented edges under the
 //      constraint that no two out-edges of i and no two in-edges of j
 //      share a slot. The in-side constraint makes each slot's
@@ -29,56 +32,73 @@
 
 namespace {
 
-// Eulerian-trail orientation over a CSR adjacency. Fills src/dst per edge.
+// Eulerian-circuit orientation over a CSR adjacency (odd-degree vertices
+// paired with virtual edges first). Fills src/dst for the m real edges.
 void euler_orient(const std::vector<std::pair<int32_t, int32_t>>& edges,
                   int64_t n, std::vector<int32_t>* src,
                   std::vector<int32_t>* dst) {
   const int64_t m = static_cast<int64_t>(edges.size());
-  std::vector<int64_t> ptr(n + 1, 0);
+  std::vector<int32_t> deg(n, 0);
   for (const auto& e : edges) {
+    ++deg[e.first];
+    ++deg[e.second];
+  }
+  // pair odd-degree vertices (always an even count) with virtual edges so
+  // every component becomes Eulerian and circuits balance in/out exactly
+  std::vector<std::pair<int32_t, int32_t>> all(edges);
+  {
+    int32_t prev = -1;
+    for (int64_t v = 0; v < n; ++v) {
+      if (deg[v] % 2 == 0) continue;
+      if (prev < 0) {
+        prev = static_cast<int32_t>(v);
+      } else {
+        all.emplace_back(prev, static_cast<int32_t>(v));
+        prev = -1;
+      }
+    }
+  }
+  const int64_t m_all = static_cast<int64_t>(all.size());
+  std::vector<int64_t> ptr(n + 1, 0);
+  for (const auto& e : all) {
     ++ptr[e.first + 1];
     ++ptr[e.second + 1];
   }
   for (int64_t i = 0; i < n; ++i) ptr[i + 1] += ptr[i];
-  std::vector<int64_t> adj(2 * m);
+  std::vector<int64_t> adj(2 * m_all);
   {
     std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
-    for (int64_t e = 0; e < m; ++e) {
-      adj[cur[edges[e].first]++] = e;
-      adj[cur[edges[e].second]++] = e;
+    for (int64_t e = 0; e < m_all; ++e) {
+      adj[cur[all[e].first]++] = e;
+      adj[cur[all[e].second]++] = e;
     }
   }
   std::vector<int64_t> cursor(ptr.begin(), ptr.end() - 1);
-  std::vector<uint8_t> used(m, 0);
-  src->resize(m);
-  dst->resize(m);
+  std::vector<uint8_t> used(m_all, 0);
+  std::vector<int32_t> asrc(m_all), adst(m_all);
   auto next_edge = [&](int32_t u) -> int64_t {
     int64_t c = cursor[u], end = ptr[u + 1];
     while (c < end && used[adj[c]]) ++c;
     cursor[u] = c;
     return c < end ? adj[c] : -1;
   };
-  // start trails at odd-degree nodes first, then sweep the rest
-  for (int pass = 0; pass < 2; ++pass) {
-    for (int64_t s = 0; s < n; ++s) {
-      int64_t degree = ptr[s + 1] - ptr[s];
-      if (pass == 0 && (degree % 2) == 0) continue;
-      for (;;) {
-        int64_t e = next_edge(static_cast<int32_t>(s));
-        if (e < 0) break;
-        int32_t u = static_cast<int32_t>(s);
-        while (e >= 0) {
-          used[e] = 1;
-          int32_t v =
-              edges[e].first == u ? edges[e].second : edges[e].first;
-          (*src)[e] = u;
-          (*dst)[e] = v;
-          u = v;
-          e = next_edge(u);
-        }
+  for (int64_t s = 0; s < n; ++s) {
+    for (;;) {  // all degrees even: every walk is a circuit back to s
+      int64_t e = next_edge(static_cast<int32_t>(s));
+      if (e < 0) break;
+      int32_t u = static_cast<int32_t>(s);
+      while (e >= 0) {
+        used[e] = 1;
+        int32_t v = all[e].first == u ? all[e].second : all[e].first;
+        asrc[e] = u;
+        adst[e] = v;
+        u = v;
+        e = next_edge(u);
       }
     }
   }
+  src->assign(asrc.begin(), asrc.begin() + m);
+  dst->assign(adst.begin(), adst.begin() + m);
 }
 
 }  // namespace

@@ -176,6 +176,16 @@ def _apply_ef(model, params, z, pos, cell, nlist):
     return out['energy'], out['gradient_force']
 
 
+@partial(jax.jit, static_argnames=('cutoff', 'k', 'mic_mode'))
+def _jit_neighbor_list(pos, cell, z, cutoff, k, mic_mode):
+    # module-level so the jit cache persists across skin rebuilds (a
+    # fresh lambda per call would re-trace every chunk)
+    from newtonnet_tpu.ops.nlist import neighbor_list
+    idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, cutoff, k,
+                                     mic_mode=mic_mode)
+    return idx, kmask
+
+
 def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
     '''Build + recolor neighbor lists for the inverse_lists / newton3 MD
     paths: returns the 4-tuple (idx, kmask, inv, inv_mask) the model
@@ -213,14 +223,10 @@ def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
             kmask = np.zeros((N, k_full), bool)
             kmask[:n_real] = np.arange(k_full)[None, :] < count[:, None]
         else:  # pure-python fallback (tests without a toolchain)
-            import jax as _jax
-            from newtonnet_tpu.ops.nlist import neighbor_list
-            idx_d, kmask_d, _, _ = _jax.jit(
-                lambda p, c, zz: neighbor_list(
-                    p, c, zz > 0, model.cutoff + skin, k_full,
-                    mic_mode=model.mic_mode))(
+            idx_d, kmask_d = _jit_neighbor_list(
                 jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
-                jnp.asarray(z[m][None]))
+                jnp.asarray(z[m][None]), model.cutoff + skin, k_full,
+                model.mic_mode)
             idx, kmask = np.asarray(idx_d[0]), np.asarray(kmask_d[0])
         if newton3:
             if use_native:

@@ -588,10 +588,22 @@ class NewtonNetCore(nn.Module):
                 # tightening of kmask does not require rebuilding inv: a
                 # stale edge's cotangent is already zero, so pulling it in
                 # the backward adds zero.
-                # Without precomputed lists (e.g. model.init, or an apply
-                # that rebuilds in-jit) the layer falls back to the plain
-                # scatter backward: in-jit top_k lists are not per-slot
-                # injective, so deriving inv from them would drop edges.
+                # Without precomputed lists the inverse_lists layer falls
+                # back to the plain scatter backward (in-jit top_k lists
+                # are not per-slot injective, so deriving inv from them
+                # would drop edges) -- correct, just slower. newton3 has
+                # no such fallback: its k_max is a HALF-list capacity, so
+                # an in-jit full-list build at that k_max silently drops
+                # edges. Refuse it outside init (init only traces shapes).
+                if (self.newton3 and pre_inv is None
+                        and not self.is_initializing()):
+                    raise ValueError(
+                        'newton3 models need a precomputed half-list '
+                        '4-tuple (idx, mask, inv, inv_mask) -- build it '
+                        'with ops/nlist.newton3_half_list or '
+                        'native.newton3_half_list_native + '
+                        'build_inverse_list (the MD driver does this '
+                        'automatically with nlist_every > 1)')
                 if pre_inv is not None:
                     inv, inv_mask = pre_inv
             edges = NeighborEdges(idx=idx, mask=kmask, dir=dir_edge, rbf=rbf,

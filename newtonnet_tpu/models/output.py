@@ -84,10 +84,11 @@ class NewtonNet:
             allowed = {'energy', 'gradient_force', 'virial', 'stress'}
             bad = set(output_properties) - allowed
             if (bad or graph_mode != 'dense' or activation != 'swish'
-                    or layer_norm or compute_dtype):
+                    or layer_norm or compute_dtype or trainable_basis):
                 raise ValueError(
                     'kernel=pallas supports the dense graph mode with swish '
-                    'activation, no layer_norm/compute_dtype, and outputs '
+                    'activation, no layer_norm/compute_dtype/'
+                    'trainable_basis, and outputs '
                     f'within {sorted(allowed)}; offending config: '
                     f'{sorted(bad) or [graph_mode, activation]}')
         self.output_properties = list(output_properties)
@@ -282,15 +283,19 @@ class NewtonNet:
             if block <= 0 or block >= 3 * n:
                 return jax.jacfwd(grad_fn)(pos1)
             n_blocks = -(-3 * n // block)
-            seeds = jnp.eye(3 * n, dtype=pos1.dtype)
-            seeds = jnp.pad(seeds, ((0, n_blocks * block - 3 * n), (0, 0)))
-            seeds = seeds.reshape(n_blocks, block, n, 3)
 
-            def one_block(vs):
+            def one_block(k):
+                # block one-hot seeds built from indices (never the full
+                # (3N, 3N) identity -- that allocation is what blocking
+                # is meant to avoid); lanes past 3N-1 seed zero and are
+                # sliced off below
+                lanes = k * block + jnp.arange(block)
+                vs = (lanes[:, None] == jnp.arange(3 * n)[None, :]) \
+                    .astype(pos1.dtype).reshape(block, n, 3)
                 return jax.vmap(
                     lambda v: jax.jvp(grad_fn, (pos1,), (v,))[1])(vs)
 
-            rows = jax.lax.map(one_block, seeds)  # (n_blocks, block, N, 3)
+            rows = jax.lax.map(one_block, jnp.arange(n_blocks))
             rows = rows.reshape(n_blocks * block, n, 3)[:3 * n]
             # rows[c, j, d] = d grad[j, d] / d pos_c: move the seed axis
             # last to match jacfwd's (output, direction) = (N, 3, N, 3)

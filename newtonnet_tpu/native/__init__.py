@@ -30,10 +30,18 @@ def _load():
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     if not hasattr(lib, 'newton3_half_list'):
-        # stale .so predating newton3.cpp: force a rebuild and reload
+        # stale .so predating newton3.cpp: force a rebuild. dlopen dedups
+        # by path, so re-CDLL'ing _LIB_PATH would return the stale handle
+        # already loaded above -- load the rebuilt library through a
+        # uniquely-named temp copy instead.
+        import shutil
+        import tempfile
         subprocess.run(['make', '-C', _NATIVE_DIR, '-B'],
                        capture_output=True, check=False)
-        lib = ctypes.CDLL(_LIB_PATH)
+        with tempfile.NamedTemporaryFile(
+                suffix='.so', delete=False) as tmp:
+            shutil.copyfile(_LIB_PATH, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
         if not hasattr(lib, 'newton3_half_list'):
             return None
     lib.xyz_parse.restype = ctypes.c_void_p

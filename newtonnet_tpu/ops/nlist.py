@@ -346,23 +346,22 @@ def newton3_half_list(idx, kmask, k_max=None):
     backward traffic vs the full directed list.
 
     Construction (host-side numpy; see native/ for the C++ MD fast path):
-      1. balanced orientation -- each edge is oriented away from the
-         endpoint with the smaller running out-degree, so max out-degree
-         approaches ceil(deg/2);
-      2. greedy slot coloring of the oriented edges with the bipartite
+      1. Eulerian orientation (_euler_orientation) -- odd-degree nodes are
+         paired with virtual edges and Eulerian circuits walked, so every
+         node ends with out-degree and in-degree <= ceil(deg/2);
+      2. Konig bipartite edge coloring of the oriented edges under the
          constraint that no two out-edges of i and no two in-edges of j
          share a slot. The in-side constraint makes every slot's
          n -> idx2[k, n] map injective on valid entries, which is exactly
-         what build_inverse_list/inv_scatter_sum require. Koenig's theorem
-         guarantees max(outdeg, indeg) slots suffice for a perfect
-         coloring; the greedy pass needs a few more (measured ~+10% at
-         N=4096, r_c=5 A).
+         what build_inverse_list/inv_scatter_sum require. The chain-flip
+         construction (Konig's theorem) uses exactly max(outdeg, indeg)
+         slots, i.e. at most ceil(max_degree / 2).
 
     Args:
         idx, kmask: (N, K) or (B, N, K) symmetric directed neighbor list
             (both (i,j) and (j,i) present, as neighbor_list returns).
-        k_max: half-list slot capacity. Defaults to the smallest capacity
-            the greedy coloring achieves; raises if it does not fit.
+        k_max: half-list slot capacity. Defaults to the exact Konig
+            optimum max(outdeg, indeg); raises if given but too small.
 
     Returns:
         (idx2, kmask2) of shape (N, k2) / (B, N, k2) -- the half list.
@@ -457,25 +456,35 @@ def newton3_half_list(idx, kmask, k_max=None):
 
 
 def _euler_orientation(pairs, deg, N):
-    '''Orient undirected edges so max out-degree == ceil(max degree / 2).
+    '''Orient undirected edges so max out-degree <= ceil(degree / 2).
 
-    Walks Eulerian trails over the (multi)graph: following a trail
-    alternates in/out at every interior node, so each node's out-degree is
-    deg/2 rounded up or down (+-1 at trail ends). Returns (src, dst).
+    Odd-degree vertices (always an even count) are first paired up with
+    VIRTUAL edges, making every component Eulerian; walking Eulerian
+    circuits then gives out-degree == in-degree == deg'/2 exactly at every
+    node (deg' = deg + 1 for odd nodes). Dropping the virtual edges leaves
+    out-degree and in-degree both <= ceil(deg/2). Without the
+    augmentation, trails that restart at a node each add an extra
+    out-edge there (a degree-5 star would orient all 5 edges outward).
+    Returns (src, dst) for the m real edges only.
     '''
     import numpy as np
-    # CSR adjacency over the undirected pair list
     m = len(pairs)
-    ends = np.concatenate([pairs[:, 0], pairs[:, 1]])
-    eids = np.concatenate([np.arange(m), np.arange(m)])
+    odd = np.flatnonzero(deg % 2 == 1)
+    virt = np.stack([odd[0::2], odd[1::2]], axis=1).astype(pairs.dtype) \
+        if len(odd) else np.zeros((0, 2), pairs.dtype)
+    allp = np.concatenate([pairs, virt]) if len(virt) else pairs
+    m_all = len(allp)
+    # CSR adjacency over the augmented pair list
+    ends = np.concatenate([allp[:, 0], allp[:, 1]])
+    eids = np.concatenate([np.arange(m_all), np.arange(m_all)])
     order = np.argsort(ends, kind='stable')
     adj_e = eids[order]
     ptr = np.zeros(N + 1, np.int64)
     np.cumsum(np.bincount(ends, minlength=N), out=ptr[1:])
     cursor = ptr[:-1].copy()
-    used = np.zeros(m, bool)
-    src = np.empty(m, pairs.dtype)
-    dst = np.empty(m, pairs.dtype)
+    used = np.zeros(m_all, bool)
+    src = np.empty(m_all, pairs.dtype)
+    dst = np.empty(m_all, pairs.dtype)
 
     def next_edge(u):
         c = cursor[u]
@@ -485,23 +494,20 @@ def _euler_orientation(pairs, deg, N):
         cursor[u] = c
         return int(adj_e[c]) if c < end else -1
 
-    # start trails preferentially at odd-degree nodes, then anywhere
-    starts = np.concatenate([np.flatnonzero(deg % 2 == 1),
-                             np.flatnonzero(deg % 2 == 0)])
-    for s in starts:
-        while True:
-            e = next_edge(int(s))
+    for s in range(N):
+        while True:  # all degrees even: every walk is a circuit back to s
+            e = next_edge(s)
             if e < 0:
                 break
-            u = int(s)
+            u = s
             while e >= 0:
                 used[e] = True
-                v = int(pairs[e, 1]) if int(pairs[e, 0]) == u \
-                    else int(pairs[e, 0])
+                v = int(allp[e, 1]) if int(allp[e, 0]) == u \
+                    else int(allp[e, 0])
                 src[e], dst[e] = u, v
                 u = v
                 e = next_edge(u)
-    return src, dst
+    return src[:m], dst[:m]
 
 
 def build_inverse_list(idx_kn, kmask_kn):

@@ -262,3 +262,29 @@ def test_newton3_matches_plain(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_p),
                     jax.tree_util.tree_leaves(g_3)):
         np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_newton3_star_graph_konig_bound():
+    '''Regression: a degree-5 star must orient balanced (the Eulerian
+    orientation pairs odd-degree vertices with virtual edges), so the half
+    list needs ceil(5/2) = 3 slots, not 5 -- and the native C++ builder
+    agrees with the Python one.'''
+    from newtonnet_tpu import native
+    from newtonnet_tpu.ops.nlist import newton3_half_list
+
+    N, K = 6, 5  # hub atom 0 bonded to atoms 1..5, leaves see only the hub
+    idx = np.zeros((N, K), np.int64)
+    kmask = np.zeros((N, K), bool)
+    idx[0] = np.arange(1, 6)
+    kmask[0] = True
+    for j in range(1, 6):
+        idx[j, 0] = 0
+        kmask[j, 0] = True
+    idx2, m2 = newton3_half_list(idx, kmask)
+    assert idx2.shape[-1] == 3  # ceil(max degree / 2)
+    assert int(m2.sum()) == 5  # each undirected edge stored once
+    if native.available() or native.ensure_built():
+        i2n, m2n = native.newton3_half_list_native(idx.astype(np.int32),
+                                                   kmask)
+        assert i2n.shape[-1] == 3
+        assert int(m2n.sum()) == 5

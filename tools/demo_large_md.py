@@ -84,5 +84,12 @@ def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
     print('Epot trace finite:', bool(np.isfinite(log['epot']).all()))
 
 
+def _arg(a):
+    try:
+        return int(a)
+    except ValueError:
+        return a  # mode name ('newton3' | 'inverse' | 'plain')
+
+
 if __name__ == '__main__':
-    main(*(a if a.isalpha() else int(a) for a in sys.argv[1:]))
+    main(*(map(_arg, sys.argv[1:])))
