@@ -10,4 +10,8 @@ from newtonnet_tpu.data.loader import (
     random_split,
 )
 from newtonnet_tpu.data.pipeline import parse_train_test
+from newtonnet_tpu.data.prelists import (
+    NeighborListDataset,
+    frame_neighbor_lists,
+)
 from newtonnet_tpu.data.statistics import compute_statistics, set_scalers

@@ -345,6 +345,12 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
         'force': np.zeros((B, N, 3), dtype=dtype),
         'graph_mask': np.zeros((B,), dtype=bool),
     }
+    # precomputed neighbor lists (data/prelists.py): padded along atoms,
+    # fixed slot width K from the builder's k_max
+    if samples and 'nlist_idx' in samples[0]:
+        K = samples[0]['nlist_idx'].shape[-1]
+        batch['nlist_idx'] = np.zeros((B, N, K), np.int32)
+        batch['nlist_mask'] = np.zeros((B, N, K), bool)
     for i, s in enumerate(samples):
         n = len(s['z'])
         batch['z'][i, :n] = s['z']
@@ -354,6 +360,9 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
             batch['energy'][i] = s['energy']
         if s['force'] is not None:
             batch['force'][i, :n] = s['force']
+        if 'nlist_idx' in s:
+            batch['nlist_idx'][i, :n] = s['nlist_idx']
+            batch['nlist_mask'][i, :n] = s['nlist_mask']
         batch['graph_mask'][i] = True
     return batch
 

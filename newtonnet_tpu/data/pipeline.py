@@ -34,6 +34,7 @@ def parse_train_test(
         n_pad=None,
         bucketed=False,
         bucket_multiple=8,
+        precompute_nlist=None,
         **dataset_kwargs):
     '''Build the three loaders + scaler statistics.
 
@@ -42,6 +43,13 @@ def parse_train_test(
     choice for heterogeneous datasets (multi-molecule sweeps, ANI-style
     collections) where one big molecule would tax every batch with its
     O(N^2) padding cost. One compilation per bucket size.
+
+    `precompute_nlist: {cutoff: 5.0, k_max: 48, mode: plain}` (YAML data
+    section) wraps every dataset in NeighborListDataset: frame neighbor
+    lists are built once on the host, cached, and fed through the batches,
+    removing the per-step in-jit graph build. mode 'newton3'/'inverse'
+    require the matching model flag and must match the model's cutoff and
+    k_max (see data/prelists.py).
 
     Returns:
         (train_gen, val_gen, test_gen, stats)
@@ -75,6 +83,12 @@ def parse_train_test(
         test_data, [test_size, len(test_data) - test_size], rng)
     print(f'data size (train, val, test): '
           f'{len(train_data)}, {len(val_data)}, {len(test_data)}')
+
+    if precompute_nlist:
+        from newtonnet_tpu.data.prelists import NeighborListDataset
+        train_data, val_data, test_data = (
+            NeighborListDataset(d, **precompute_nlist)
+            for d in (train_data, val_data, test_data))
 
     if bucketed:
         train_gen = BucketedLoader(train_data, train_batch_size,

@@ -1,0 +1,139 @@
+'''Precomputed per-frame neighbor lists for training datasets.
+
+Training frames are static geometry: each frame's neighbor list never
+changes across epochs, so building it once at data-loading time and
+feeding it through the batch removes the per-step in-jit O(N^2) (or
+cell-grid) graph build entirely -- the analogue of the MD driver's
+amortized skin rebuilds, amortized over the whole run instead.
+
+It also unlocks the fast list formats for the training step, which the
+in-jit build cannot produce (they need host-side slot colorings):
+
+  * mode='inverse': symmetric-slotted lists -> scatter-free backward
+    (ops/nlist.inv_gather);
+  * mode='newton3': Newton's-third-law half lists -> each undirected edge
+    computed ONCE per layer (ops/nlist.newton3_half_list) -- the fastest
+    large-N formulation (PERF_NOTES.md).
+
+The model recomputes displacements from pos in-jit (models/newtonnet.py
+apply docstring), so derivatives through positions stay exact; only the
+integer index structure is precomputed.
+
+Reference context: the reference rebuilds its dynamic-shape radius graph
+inside every forward (newtonnet/layers/representations.py:70-98) because
+torch autograd needs the graph in-graph; with JAX the displacement
+recompute achieves the same differentiability from a fixed index set.
+'''
+import numpy as np
+
+
+def frame_neighbor_lists(z, pos, cell, cutoff, k_max, mode='plain',
+                         mic_mode='exact'):
+    '''Build one frame's padded neighbor list on the host.
+
+    Args:
+        z: (N,) atomic numbers (0 = padding; padding rows get no edges).
+        pos: (N, 3) positions.
+        cell: (3, 3) lattice rows or zeros for aperiodic.
+        cutoff: neighbor radius.
+        k_max: slot capacity of the RETURNED list -- the full-list
+            capacity for 'plain'/'inverse', the half-list capacity
+            (>= ceil(max_degree/2), Konig bound) for 'newton3'.
+        mode: 'plain' | 'inverse' (symmetric-slotted) | 'newton3'.
+
+    Returns:
+        idx (N, k_max) int32, mask (N, k_max) bool.
+    '''
+    from newtonnet_tpu import native
+    z = np.asarray(z)
+    pos = np.asarray(pos, np.float64)
+    cell = np.asarray(cell, np.float64)
+    n = len(z)
+    n_real = int((z > 0).sum())
+    if (z[:n_real] <= 0).any():
+        raise ValueError('padding atoms (z == 0) must sit at the end')
+    build_k = 2 * k_max + 8 if mode == 'newton3' else k_max
+    if native.available() or native.ensure_built():
+        idx_r, count, ovf = native.cell_list_neighbors(
+            pos[:n_real], cell if cell.any() else None, cutoff, build_k)
+        if ovf:
+            raise ValueError(f'neighbor overflow ({ovf} atoms exceed '
+                             f'k={build_k}); raise k_max')
+        idx = np.zeros((n, build_k), np.int32)
+        mask = np.zeros((n, build_k), bool)
+        idx[:n_real] = idx_r
+        mask[:n_real] = np.arange(build_k)[None, :] < count[:, None]
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        from newtonnet_tpu.ops.nlist import neighbor_list
+        idx_d, mask_d, _, ovf = jax.jit(
+            lambda p, c, m: neighbor_list(p, c, m, cutoff, build_k,
+                                          mic_mode=mic_mode))(
+            jnp.asarray(pos[None]), jnp.asarray(cell[None]),
+            jnp.asarray((z > 0)[None]))
+        if int(np.asarray(ovf).sum()):
+            raise ValueError('neighbor overflow; raise k_max')
+        idx, mask = np.asarray(idx_d[0]), np.asarray(mask_d[0])
+    if mode == 'plain':
+        return idx.astype(np.int32), mask
+    if mode == 'inverse':
+        from newtonnet_tpu.ops.nlist import symmetrize_slots
+        if native.available():
+            out = native.symmetrize_slots_native(idx, mask, k_max)
+            if out is None:
+                raise ValueError(
+                    f'symmetric slot coloring needs > k_max={k_max} slots')
+            return out[0].astype(np.int32), out[1]
+        idx2, m2 = symmetrize_slots(idx, mask, k_max=k_max)
+        return idx2.astype(np.int32), m2
+    if mode == 'newton3':
+        if native.available():
+            out = native.newton3_half_list_native(idx, mask, k_out=k_max)
+            if out is None:
+                raise ValueError(
+                    f'newton3 half list needs > k_max={k_max} slots')
+            return out[0].astype(np.int32), out[1]
+        from newtonnet_tpu.ops.nlist import newton3_half_list
+        idx2, m2 = newton3_half_list(idx, mask, k_max=k_max)
+        return idx2.astype(np.int32), m2
+    raise ValueError(f'unknown mode {mode}')
+
+
+class NeighborListDataset:
+    '''Dataset wrapper adding cached precomputed neighbor lists.
+
+    Wraps any Molecular*Dataset (or Subset): samples gain 'nlist_idx' and
+    'nlist_mask' keys that collate pads and the Trainer feeds to the model
+    as its nlist argument. Lists are built lazily on first access and
+    cached in memory (int32 + bool: ~(k_max*5)/atom bytes).
+
+    Match the constructor arguments to the model: same cutoff, same k_max,
+    and mode 'newton3'/'inverse' only for models built with that flag.
+    '''
+
+    def __init__(self, dataset, cutoff, k_max, mode='plain',
+                 mic_mode='exact'):
+        self.dataset = dataset
+        self.cutoff = cutoff
+        self.k_max = k_max
+        self.mode = mode
+        self.mic_mode = mic_mode
+        self._cache = {}
+        # pass through attributes loaders read (max_atoms, precision, ...)
+        for attr in ('max_atoms', 'precision'):
+            if hasattr(dataset, attr):
+                setattr(self, attr, getattr(dataset, attr))
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i):
+        s = dict(self.dataset[i])
+        if i not in self._cache:
+            self._cache[i] = frame_neighbor_lists(
+                s['z'], s['pos'], s['cell'], self.cutoff, self.k_max,
+                mode=self.mode, mic_mode=self.mic_mode)
+        s['nlist_idx'], s['nlist_mask'] = self._cache[i]
+        return s

@@ -219,14 +219,19 @@ class Trainer:
         # sync round trip per step, which dominates on tunneled backends).
         # `lr` (traced scalar) is set into the opt state when a per-step
         # scheduler drives the run; None keeps the state's current lr.
-        if self.fast_grad:
+        nl = self._batch_nlist(batch)
+        # inverse/newton3 lists (4-tuples) route their backward through
+        # custom_vjp scatter-free ops, which forward-mode AD cannot enter;
+        # fastgrad's reverse-over-forward needs jvp, so those batches take
+        # the standard reverse-mode path (still scatter-free per custom_vjp)
+        if self.fast_grad and not (nl is not None and len(nl) == 4):
             from newtonnet_tpu.train import fastgrad
             loss, grads, preds = fastgrad.value_and_grad(
-                self.model, self.main_loss, params, batch)
+                self.model, self.main_loss, params, batch, nlist=nl)
         else:
             def loss_fn(p):
                 preds = self.model.apply(p, batch['z'], batch['pos'],
-                                         batch['cell'])
+                                         batch['cell'], nlist=nl)
                 return self.main_loss(preds, batch), preds
             (loss, preds), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -239,6 +244,27 @@ class Trainer:
             metrics['edges'] = self._count_edges(batch)
         totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
         return params, opt_state, totals
+
+    def _batch_nlist(self, batch):
+        '''Precomputed neighbor lists riding the batch (data/prelists.py).
+
+        Returns the nlist tuple the model expects, or None when the batch
+        carries no lists (the model then builds its graph in-jit). For
+        inverse_lists/newton3 models the K-major inverse lists are derived
+        on device (one scatter-max -- cheap relative to a train step).
+        '''
+        if not isinstance(batch, dict) or 'nlist_idx' not in batch:
+            return None
+        idx, mask = batch['nlist_idx'], batch['nlist_mask']
+        if (getattr(self.model, 'inverse_lists', False)
+                or getattr(self.model, 'newton3', False)):
+            import jax.numpy as jnp
+
+            from newtonnet_tpu.ops.nlist import build_inverse_list
+            inv, invm = build_inverse_list(jnp.swapaxes(idx, 1, 2),
+                                           jnp.swapaxes(mask, 1, 2))
+            return (idx, mask, inv, invm)
+        return (idx, mask)
 
     @property
     def _edges_enabled(self):
@@ -257,7 +283,8 @@ class Trainer:
 
     def _eval_step_body(self, params, totals, batch):
         preds = self.model.apply(params, batch['z'], batch['pos'],
-                                 batch['cell'])
+                                 batch['cell'],
+                                 nlist=self._batch_nlist(batch))
         metrics = {'loss': self.main_loss(preds, batch),
                    **self.eval_loss(preds, batch)}
         return jax.tree.map(lambda t, m: t + m, totals, metrics)

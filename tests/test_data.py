@@ -179,3 +179,137 @@ def test_collate_rejects_oversized_sample():
                cell=np.zeros((3, 3)), energy=0.0, force=np.zeros((11, 3)))
     with pytest.raises(ValueError, match='does not fit'):
         collate([s], n_pad=8, batch_pad=1)
+
+
+def test_precomputed_neighbor_lists_training_parity():
+    '''NeighborListDataset + Trainer: a train step fed precomputed lists
+    (plain and newton3 modes) matches the in-jit-graph step exactly.'''
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from newtonnet_tpu.data import collate
+    from newtonnet_tpu.data.prelists import NeighborListDataset
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import fastgrad, get_loss_by_string
+
+    rs = np.random.RandomState(3)
+    N, B = 14, 3
+
+    class Frames:
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(100 + i)
+            cell = np.diag([9.0, 9.0, 9.0])
+            return {'z': r.choice([1, 6, 8], size=N).astype(np.int32),
+                    'pos': r.rand(N, 3) @ cell, 'cell': cell,
+                    'energy': float(r.randn()), 'force': r.randn(N, 3)}
+
+    main_loss, _ = get_loss_by_string(
+        {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 10.0}})
+    common = dict(graph_mode='neighborlist', cutoff=5.0, n_features=16,
+                  n_basis=8, n_interactions=2, param_dtype=jnp.float64,
+                  output_properties=['energy', 'gradient_force'])
+
+    def step_loss(model, batch, nlist):
+        params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                            batch['cell'])
+        if nlist is not None and len(nlist) == 4:
+            # inverse/newton3 lists: reverse-mode path (the Trainer makes
+            # the same choice -- fastgrad's jvp can't enter custom_vjp)
+            def loss_fn(p):
+                preds = model.apply(p, batch['z'], batch['pos'],
+                                    batch['cell'], nlist=nlist)
+                return main_loss(preds, batch)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+        else:
+            loss, grads, _ = fastgrad.value_and_grad(model, main_loss,
+                                                     params, batch,
+                                                     nlist=nlist)
+        return float(loss), grads
+
+    # baseline: in-jit graph build
+    plain_model = NewtonNet(k_max=13, **common)
+    base = collate([Frames()[i] for i in range(B)], n_pad=N, batch_pad=B,
+                   dtype=np.float64)
+    base = {k: jnp.asarray(v) for k, v in base.items()}
+    loss0, g0 = step_loss(plain_model, base, None)
+
+    for mode, k_max, model in (
+            ('plain', 13, plain_model),
+            ('newton3', 8, NewtonNet(k_max=8, newton3=True, **common))):
+        ds = NeighborListDataset(Frames(), cutoff=5.0, k_max=k_max,
+                                 mode=mode)
+        batch = collate([ds[i] for i in range(B)], n_pad=N, batch_pad=B,
+                        dtype=np.float64)
+        assert batch['nlist_idx'].shape == (B, N, k_max)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        nl = (batch['nlist_idx'], batch['nlist_mask'])
+        if mode == 'newton3':
+            from newtonnet_tpu.ops.nlist import build_inverse_list
+            inv, invm = build_inverse_list(
+                jnp.swapaxes(nl[0], 1, 2), jnp.swapaxes(nl[1], 1, 2))
+            nl = nl + (inv, invm)
+        loss1, g1 = step_loss(model, batch, nl)
+        assert abs(loss1 - loss0) < 1e-9 * max(1.0, abs(loss0)), mode
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(a, b, atol=1e-9, err_msg=mode)
+
+
+def test_precomputed_lists_through_trainer():
+    '''Trainer.run_one_epoch with nlist-carrying batches: the step body
+    feeds the lists to the model (in-jit graph build bypassed) and matches
+    the same epoch run on identical batches without lists.'''
+    import jax
+    import jax.numpy as jnp
+
+    from newtonnet_tpu.data import collate
+    from newtonnet_tpu.data.prelists import NeighborListDataset
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    N, B = 12, 2
+
+    class Frames:
+        def __len__(self):
+            return 2 * B
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(200 + i)
+            cell = np.diag([8.0, 8.0, 8.0])
+            return {'z': r.choice([1, 8], size=N).astype(np.int32),
+                    'pos': r.rand(N, 3) @ cell, 'cell': cell,
+                    'energy': float(r.randn()), 'force': r.randn(N, 3)}
+
+    model = NewtonNet(graph_mode='neighborlist', cutoff=4.0, k_max=11,
+                      n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+
+    def epoch(with_lists):
+        src = Frames()
+        ds = (NeighborListDataset(src, cutoff=4.0, k_max=11)
+              if with_lists else src)
+        batches = [collate([ds[i + c * B] for i in range(B)], n_pad=N,
+                           batch_pad=B) for c in range(2)]
+        batches = [{k: jnp.asarray(v) for k, v in b.items()}
+                   for b in batches]
+        params = model.init(jax.random.PRNGKey(0), batches[0]['z'],
+                            batches[0]['pos'], batches[0]['cell'])
+        t = Trainer(model=model, params=params,
+                    loss_fns=get_loss_by_string(
+                        {'energy': {}, 'gradient_force': {'weight': 5.0}}),
+                    optimizer=get_optimizer_by_string('adam', lr=1e-3))
+        log = t.run_one_epoch(batches, step=True)
+        return t.params, log
+
+    p0, log0 = epoch(False)
+    p1, log1 = epoch(True)
+    np.testing.assert_allclose(log0['loss'], log1['loss'], rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
