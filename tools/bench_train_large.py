@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+'''Large-system TRAINING throughput (BASELINE.json configuration class
+"large periodic/condensed-phase system", single chip).
+
+One jitted train step (energy+force loss, Adam) of an N-atom periodic box
+through the neighborlist path, comparing graph strategies:
+
+  * injit   -- plain lists rebuilt inside the step (the only option the
+               reference's architecture allows: its graph is rebuilt every
+               forward, newtonnet/layers/representations.py:70-98);
+  * plain   -- precomputed plain lists fed via data/prelists.py;
+  * newton3 -- precomputed Newton's-third-law half lists: each undirected
+               edge computed once per layer.
+
+Prints ms/step and M edges/s for each mode.
+
+    python tools/bench_train_large.py [n_atoms] [modes...]
+'''
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _enable_compilation_cache():
+    import jax
+    cache = os.environ.get('JAX_COMPILATION_CACHE_DIR') or \
+        os.path.expanduser('~/.cache/newtonnet_tpu/jax')
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+def main(n_atoms=4096, *modes):
+    _enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from newtonnet_tpu.data.prelists import frame_neighbor_lists
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.ops.nlist import build_inverse_list, neighbor_list
+    from newtonnet_tpu.train import fastgrad, get_loss_by_string
+
+    modes = modes or ('injit', 'plain', 'newton3')
+    rho, cutoff = 0.1, 5.0
+    L = (n_atoms / rho) ** (1 / 3)
+    rs = np.random.RandomState(0)
+    z = rs.choice([1, 1, 8], size=(1, n_atoms)).astype(np.int32)
+    pos = (rs.rand(1, n_atoms, 3) * L).astype(np.float32)
+    cell = np.diag([L, L, L]).astype(np.float32)[None]
+    batch = {'z': jnp.asarray(z), 'pos': jnp.asarray(pos),
+             'cell': jnp.asarray(cell),
+             'energy': jnp.zeros((1,), jnp.float32),
+             'force': jnp.asarray(rs.randn(1, n_atoms, 3), jnp.float32),
+             'graph_mask': jnp.ones((1,), bool)}
+    _ = float(jnp.sum(batch['pos']))  # honest-timing poison fetch
+
+    _, kmask_full, _, _ = jax.jit(
+        lambda p, c, m: neighbor_list(p, c, m, cutoff, 96))(
+        batch['pos'], batch['cell'], batch['z'] > 0)
+    edges = int(np.asarray(kmask_full).sum())
+    print(f'N={n_atoms}, {edges} directed edges')
+
+    main_loss, _ = get_loss_by_string(
+        {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
+
+    def step_time(model, nlist, reverse_only):
+        params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                            batch['cell'])
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        if reverse_only:
+            def loss_fn(p):
+                preds = model.apply(p, batch['z'], batch['pos'],
+                                    batch['cell'], nlist=nlist)
+                return main_loss(preds, batch)
+
+            @jax.jit
+            def step(p, o):
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o, loss
+        else:
+            @jax.jit
+            def step(p, o):
+                loss, grads, _ = fastgrad.value_and_grad(
+                    model, main_loss, p, batch, nlist=nlist)
+                updates, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o, loss
+
+        params, opt, loss = step(params, opt)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        n_iter = 10
+        for _i in range(n_iter):
+            params, opt, loss = step(params, opt)
+        _ = float(loss)
+        return (time.perf_counter() - t0) / n_iter
+
+    common = dict(graph_mode='neighborlist', cutoff=cutoff, n_features=128,
+                  n_basis=20, n_interactions=3, compute_dtype='bfloat16',
+                  output_properties=['energy', 'gradient_force'])
+    for mode in modes:
+        if mode == 'injit':
+            model = NewtonNet(k_max=80, **common)
+            nlist = None
+            reverse_only = False
+        elif mode == 'plain':
+            model = NewtonNet(k_max=80, **common)
+            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 80)
+            nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
+            reverse_only = False
+        elif mode == 'newton3':
+            model = NewtonNet(k_max=44, newton3=True, **common)
+            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 44,
+                                          mode='newton3')
+            idxj, mj = jnp.asarray(idx[None]), jnp.asarray(m[None])
+            inv, invm = build_inverse_list(jnp.swapaxes(idxj, 1, 2),
+                                           jnp.swapaxes(mj, 1, 2))
+            nlist = (idxj, mj, inv, invm)
+            reverse_only = True  # custom_vjp backward: no forward-mode
+        else:
+            raise SystemExit(f'unknown mode {mode}')
+        dt = step_time(model, nlist, reverse_only)
+        print(f'{mode:8s}: {dt * 1e3:7.1f} ms/step  '
+              f'{edges / dt / 1e6:6.2f} M edges/s')
+
+
+if __name__ == '__main__':
+    main(*(int(a) if a.isdigit() else a for a in sys.argv[1:]))
