@@ -242,7 +242,7 @@ class NewtonNet:
             volume = jnp.abs(jnp.linalg.det(cell))[:, None, None]
             outputs['stress'] = disp_grad / volume  # (ref output.py:174-180)
         if 'hessian' in needs:
-            outputs['hessian'] = self._hessian(params, z, pos, cell)
+            outputs['hessian'] = self._hessian(params, z, pos, cell, nlist)
         if 'bec' in needs:
             outputs['bec'] = self._bec(params, z, pos, cell, out['charge'])
         return outputs
@@ -251,16 +251,18 @@ class NewtonNet:
         return self.apply(params, z, pos, cell)
 
     # ------------------------------------------------------------------ #
-    def _single_graph_pos_grad(self, params, z, pos, cell):
+    def _single_graph_pos_grad(self, params, z, pos, cell, nlist=None):
         '''dE/dpos for one unbatched graph (N, 3) -- used by the Hessian.'''
         def energy(p):
             disp = self._identity_displacement(cell[None])
+            nl = (None if nlist is None
+                  else tuple(a[None] for a in nlist))
             total, _ = self._energy_and_aux(
-                params, z[None], p[None], disp, cell[None])
+                params, z[None], p[None], disp, cell[None], nl)
             return total
         return jax.grad(energy)(pos)
 
-    def _hessian(self, params, z, pos, cell):
+    def _hessian(self, params, z, pos, cell, nlist=None):
         '''Per-graph Hessian d2E/dpos2: (B, N, 3, N, 3).
 
         Forward-over-reverse (jacfwd of grad) instead of the reference's
@@ -276,9 +278,9 @@ class NewtonNet:
         '''
         block = int(self.hessian_block)
 
-        def single(z1, pos1, cell1):
+        def single(z1, pos1, cell1, *nl1):
             grad_fn = lambda p: self._single_graph_pos_grad(  # noqa: E731
-                params, z1, p, cell1)
+                params, z1, p, cell1, nl1 or None)
             n = pos1.shape[0]
             if block <= 0 or block >= 3 * n:
                 return jax.jacfwd(grad_fn)(pos1)
@@ -301,7 +303,7 @@ class NewtonNet:
             # last to match jacfwd's (output, direction) = (N, 3, N, 3)
             return rows.reshape(n, 3, n, 3).transpose(2, 3, 0, 1)
 
-        return jax.vmap(single)(z, pos, cell)
+        return jax.vmap(single)(z, pos, cell, *(nlist or ()))
 
     def _bec(self, params, z, pos, cell, charge):
         '''Born effective charges (B, N, 3, 3).

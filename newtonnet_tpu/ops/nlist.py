@@ -542,50 +542,22 @@ def build_inverse_list(idx_kn, kmask_kn):
     return jnp.maximum(inv, 0), inv >= 0
 
 
-@jax.custom_vjp
-def inv_gather(x, idx_kn, inv, inv_mask):
-    '''K-major neighbor gather with a scatter-free backward.
+# ---------------------------------------------------------------------- #
+# inv_gather / inv_scatter_sum: a mutually-transposed pair of LINEAR maps
+# registered as first-class JAX primitives. Reverse-mode cotangents route
+# through each other's transpose (never an E-row TPU scatter-add),
+# forward-mode tangents ride the op itself, and explicit batching rules
+# make vmap fold extra batch axes into the B axis -- so every composition
+# works: grad-of-grad force training, fastgrad's reverse-over-forward,
+# and jvp-based blocked Hessian lanes. (A custom_vjp formulation supports
+# reverse mode only; jax.custom_transpose leaked linearize tracers
+# through the scan -- see ROADMAP.md.)
 
-    out[b, k, n] = x[b, idx_kn[b, k, n]] -- identical values to
-    gather_nodes on the transposed index list. The VJP accumulates the
-    per-edge cotangent back onto atoms with inv_scatter_sum (a lax.scan of
-    K gathers whose sources are single (N, F) slices, the regime where TPU
-    gathers run at full rate) instead of an E-row scatter-add. The two ops
-    are mutually adjoint custom_vjps, so the pair is differentiable to any
-    order (force training's grad-of-grad included).
-
-    Args:
-        x: (B, N, ...) node features.
-        idx_kn, inv, inv_mask: (B, K, N) forward and inverse lists
-            (build_inverse_list).
-
-    Returns:
-        (B, K, N, ...) gathered neighbor features.
-    '''
+def _inv_gather_impl(x, idx_kn, inv, inv_mask):
     return gather_nodes(x, idx_kn)
 
 
-def _inv_gather_fwd(x, idx_kn, inv, inv_mask):
-    return gather_nodes(x, idx_kn), (idx_kn, inv, inv_mask)
-
-
-def _inv_gather_bwd(res, cot):
-    idx_kn, inv, inv_mask = res
-    return inv_scatter_sum(cot, idx_kn, inv, inv_mask), None, None, None
-
-
-@jax.custom_vjp
-def inv_scatter_sum(y, idx_kn, inv, inv_mask):
-    '''Adjoint of inv_gather: out[b, j] = sum_{b,k,n: idx[b,k,n]=j} y[b,k,n].
-
-    Evaluated as a scan over chunks of c slots: slot k contributes
-    where(inv_mask[k], y[k, inv[k]], 0), a gather whose source is the
-    (c*N, F) stack of slices y[:, k0:k0+c] -- small enough to stay
-    resident, unlike the E-sized source a transpose-permutation gather
-    would need. Chunking c slots per iteration amortizes the while-loop
-    bookkeeping and accumulator read/write over c gathers (measured ~15%
-    faster than c=1 at N=4096, K=84; NEWTONNET_SCATTER_CHUNK overrides).
-    '''
+def _inv_scatter_impl(y, idx_kn, inv, inv_mask):
     import os as _os
     B, K, N = idx_kn.shape
     feat = y.shape[3:]
@@ -623,21 +595,118 @@ def inv_scatter_sum(y, idx_kn, inv, inv_mask):
     return out
 
 
-def _inv_scatter_fwd(y, idx_kn, inv, inv_mask):
-    return inv_scatter_sum(y, idx_kn, inv, inv_mask), (idx_kn, inv, inv_mask)
+def _register_invlist_primitives():
+    from jax.extend.core import Primitive
+    from jax.interpreters import ad, batching, mlir
+
+    gather_p = Primitive('newtonnet_inv_gather')
+    scatter_p = Primitive('newtonnet_inv_scatter_sum')
+
+    def gather_abstract(x, idx_kn, inv, inv_mask):
+        B, K, N = idx_kn.shape
+        return jax.core.ShapedArray((B, K, N) + x.shape[2:], x.dtype)
+
+    def scatter_abstract(y, idx_kn, inv, inv_mask):
+        B, K, N = idx_kn.shape
+        return jax.core.ShapedArray((B, N) + y.shape[3:], y.dtype)
+
+    gather_p.def_abstract_eval(gather_abstract)
+    scatter_p.def_abstract_eval(scatter_abstract)
+    gather_p.def_impl(_inv_gather_impl)
+    scatter_p.def_impl(_inv_scatter_impl)
+    mlir.register_lowering(
+        gather_p, mlir.lower_fun(_inv_gather_impl, multiple_results=False))
+    mlir.register_lowering(
+        scatter_p, mlir.lower_fun(_inv_scatter_impl, multiple_results=False))
+
+    # linear in the first operand; the list operands are integer/boolean
+    ad.defjvp(gather_p,
+              lambda g, x, idx, inv, m: gather_p.bind(g, idx, inv, m),
+              None, None, None)
+    ad.defjvp(scatter_p,
+              lambda g, y, idx, inv, m: scatter_p.bind(g, idx, inv, m),
+              None, None, None)
+
+    def gather_transpose(ct, x, idx_kn, inv, inv_mask):
+        assert ad.is_undefined_primal(x)
+        if type(ct) is ad.Zero:
+            return [ad.Zero(x.aval), None, None, None]
+        # adjoint on the masked subspace: every consumer multiplies
+        # per-edge quantities by the edge mask, so masked slots carry
+        # zero cotangent into this transpose
+        return [scatter_p.bind(ct, idx_kn, inv, inv_mask), None, None, None]
+
+    def scatter_transpose(ct, y, idx_kn, inv, inv_mask):
+        assert ad.is_undefined_primal(y)
+        if type(ct) is ad.Zero:
+            return [ad.Zero(y.aval), None, None, None]
+        return [gather_p.bind(ct, idx_kn, inv, inv_mask), None, None, None]
+
+    ad.primitive_transposes[gather_p] = gather_transpose
+    ad.primitive_transposes[scatter_p] = scatter_transpose
+
+    def batch_rule(prim):
+        def rule(args, dims):
+            size = next(a.shape[d] for a, d in zip(args, dims)
+                        if d is not None)
+
+            def front(a, d):
+                if d is None:
+                    return jnp.broadcast_to(a[None], (size,) + a.shape)
+                return jnp.moveaxis(a, d, 0)
+
+            x, idx, inv, m = (front(a, d) for a, d in zip(args, dims))
+
+            def merge(a):  # fold the vmap axis into B
+                return a.reshape((size * a.shape[1],) + a.shape[2:])
+
+            out = prim.bind(merge(x), merge(idx), merge(inv), merge(m))
+            return out.reshape((size, -1) + out.shape[1:]), 0
+        return rule
+
+    batching.primitive_batchers[gather_p] = batch_rule(gather_p)
+    batching.primitive_batchers[scatter_p] = batch_rule(scatter_p)
+    return gather_p, scatter_p
 
 
-def _inv_scatter_bwd(res, cot):
-    idx_kn, inv, inv_mask = res
-    # adjoint of the adjoint: the forward gather again. Invalid (masked)
-    # slots receive the value at their padding index, but every consumer
-    # multiplies edge quantities by the edge mask, and inside inv_gather's
-    # own VJP chain the masked slots carried zero cotangent to begin with.
-    return inv_gather(cot, idx_kn, inv, inv_mask), None, None, None
+_inv_gather_p, _inv_scatter_p = _register_invlist_primitives()
 
 
-inv_gather.defvjp(_inv_gather_fwd, _inv_gather_bwd)
-inv_scatter_sum.defvjp(_inv_scatter_fwd, _inv_scatter_bwd)
+def inv_gather(x, idx_kn, inv, inv_mask):
+    '''K-major neighbor gather with a scatter-free backward.
+
+    out[b, k, n] = x[b, idx_kn[b, k, n]] -- identical values to
+    gather_nodes on the transposed index list. Reverse-mode cotangents
+    accumulate back onto atoms with inv_scatter_sum (a lax.scan of
+    slice gathers whose sources are (c*N, F) stacks, the regime where TPU
+    gathers run at full rate) instead of an E-row scatter-add; forward-
+    mode tangents ride the gather itself. The two registered primitives
+    are mutually transposed, so every derivative mode and order works.
+
+    Args:
+        x: (B, N, ...) node features.
+        idx_kn, inv, inv_mask: (B, K, N) forward and inverse lists
+            (build_inverse_list).
+
+    Returns:
+        (B, K, N, ...) gathered neighbor features.
+    '''
+    return _inv_gather_p.bind(x, idx_kn, inv, inv_mask)
+
+
+def inv_scatter_sum(y, idx_kn, inv, inv_mask):
+    '''Adjoint of inv_gather: out[b, j] = sum_{b,k,n: idx[b,k,n]=j} y[b,k,n].
+
+    Evaluated as a scan over chunks of c slots: slot k contributes
+    where(inv_mask[k], y[k, inv[k]], 0), a gather whose source is the
+    (c*N, F) stack of slices y[:, k0:k0+c] -- small enough to stay
+    resident, unlike the E-sized source a transpose-permutation gather
+    would need. Chunking c slots per iteration amortizes the while-loop
+    bookkeeping and accumulator read/write over c gathers (measured ~15%
+    faster than c=1 at N=4096, K=84; NEWTONNET_SCATTER_CHUNK overrides).
+    EXACT ONLY for per-slot injective lists (see build_inverse_list).
+    '''
+    return _inv_scatter_p.bind(y, idx_kn, inv, inv_mask)
 
 
 def gather_nodes(x, idx):

@@ -220,11 +220,7 @@ class Trainer:
         # `lr` (traced scalar) is set into the opt state when a per-step
         # scheduler drives the run; None keeps the state's current lr.
         nl = self._batch_nlist(batch)
-        # inverse/newton3 lists (4-tuples) route their backward through
-        # custom_vjp scatter-free ops, which forward-mode AD cannot enter;
-        # fastgrad's reverse-over-forward needs jvp, so those batches take
-        # the standard reverse-mode path (still scatter-free per custom_vjp)
-        if self.fast_grad and not (nl is not None and len(nl) == 4):
+        if self.fast_grad:
             from newtonnet_tpu.train import fastgrad
             loss, grads, preds = fastgrad.value_and_grad(
                 self.model, self.main_loss, params, batch, nlist=nl)

@@ -216,18 +216,8 @@ def test_precomputed_neighbor_lists_training_parity():
     def step_loss(model, batch, nlist):
         params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
                             batch['cell'])
-        if nlist is not None and len(nlist) == 4:
-            # inverse/newton3 lists: reverse-mode path (the Trainer makes
-            # the same choice -- fastgrad's jvp can't enter custom_vjp)
-            def loss_fn(p):
-                preds = model.apply(p, batch['z'], batch['pos'],
-                                    batch['cell'], nlist=nlist)
-                return main_loss(preds, batch)
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-        else:
-            loss, grads, _ = fastgrad.value_and_grad(model, main_loss,
-                                                     params, batch,
-                                                     nlist=nlist)
+        loss, grads, _ = fastgrad.value_and_grad(model, main_loss,
+                                                 params, batch, nlist=nlist)
         return float(loss), grads
 
     # baseline: in-jit graph build

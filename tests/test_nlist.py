@@ -288,3 +288,64 @@ def test_newton3_star_graph_konig_bound():
                                                    kmask)
         assert i2n.shape[-1] == 3
         assert int(m2n.sum()) == 5
+
+
+def test_invlist_primitives_all_derivative_modes():
+    '''inv_gather / inv_scatter_sum are registered primitives with jvp,
+    transpose, and batching rules: every composition (vjp, jvp,
+    grad-of-grad, jvp-of-grad, vmap) matches the plain-gather reference.'''
+    from newtonnet_tpu.ops.nlist import (build_inverse_list, gather_nodes,
+                                         inv_gather, inv_scatter_sum,
+                                         symmetrize_slots)
+
+    rs = np.random.RandomState(0)
+    B, N, K, F = 2, 10, 7, 5
+    pos = jnp.asarray(rs.rand(B, N, 3) * 6)
+    idx, kmask, _, _ = neighbor_list(pos, jnp.zeros((B, 3, 3)),
+                                     jnp.ones((B, N), bool), 3.0, K)
+    idx2, m2 = symmetrize_slots(np.asarray(idx), np.asarray(kmask))
+    idx_kn = jnp.swapaxes(jnp.asarray(idx2), 1, 2)
+    m_kn = jnp.swapaxes(jnp.asarray(m2), 1, 2)
+    inv, invm = build_inverse_list(idx_kn, m_kn)
+    Kc = idx_kn.shape[1]
+    x = jnp.asarray(rs.randn(B, N, F))
+    dx = jnp.asarray(rs.randn(B, N, F))
+    y = jnp.asarray(rs.randn(B, Kc, N, F)) * m_kn[..., None]
+
+    # primal + scatter vs dense reference
+    g = inv_gather(x, idx_kn, inv, invm)
+    np.testing.assert_array_equal(np.asarray(g),
+                                  np.asarray(gather_nodes(x, idx_kn)))
+    s = inv_scatter_sum(y, idx_kn, inv, invm)
+    ref = np.zeros((B, N, F))
+    for b in range(B):
+        for k in range(Kc):
+            for n in range(N):
+                if m_kn[b, k, n]:
+                    ref[b, idx_kn[b, k, n]] += np.asarray(y[b, k, n])
+    np.testing.assert_allclose(np.asarray(s), ref, atol=1e-12)
+
+    f = lambda x: jnp.sum(  # noqa: E731
+        (inv_gather(x, idx_kn, inv, invm) * m_kn[..., None]) ** 2)
+    f_ref = lambda x: jnp.sum(  # noqa: E731
+        (gather_nodes(x, idx_kn) * m_kn[..., None]) ** 2)
+    # vjp
+    np.testing.assert_allclose(jax.grad(f)(x), jax.grad(f_ref)(x),
+                               atol=1e-12)
+    # jvp
+    _, jv = jax.jvp(lambda x: inv_gather(x, idx_kn, inv, invm), (x,), (dx,))
+    np.testing.assert_array_equal(np.asarray(jv),
+                                  np.asarray(gather_nodes(dx, idx_kn)))
+    # grad-of-grad
+    gg = jax.grad(lambda x: jnp.sum(jax.grad(f)(x) ** 2))(x)
+    gg_ref = jax.grad(lambda x: jnp.sum(jax.grad(f_ref)(x) ** 2))(x)
+    np.testing.assert_allclose(gg, gg_ref, atol=1e-10)
+    # jvp-of-grad (blocked Hessian lanes)
+    _, hv = jax.jvp(jax.grad(f), (x,), (dx,))
+    _, hv_ref = jax.jvp(jax.grad(f_ref), (x,), (dx,))
+    np.testing.assert_allclose(hv, hv_ref, atol=1e-10)
+    # vmap (batched and broadcast operands)
+    xs = jnp.stack([x, 2 * x])
+    out_v = jax.vmap(inv_gather, in_axes=(0, None, None, None))(
+        xs, idx_kn, inv, invm)
+    np.testing.assert_allclose(out_v[1], 2 * g, atol=0)
