@@ -3,6 +3,7 @@ from newtonnet_tpu.data.loader import (
     MolecularDataset,
     MolecularInMemoryDataset,
     PaddedLoader,
+    PrefetchLoader,
     Subset,
     collate,
     parse_npz,

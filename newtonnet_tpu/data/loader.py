@@ -459,3 +459,58 @@ class PaddedLoader:
             samples = [self.dataset[i] for i in idx]
             yield collate(samples, self.n_pad, self.batch_size,
                           dtype=self.dtype)
+
+
+class PrefetchLoader:
+    '''Background-thread batch prefetcher (double buffering).
+
+    Wraps any batch iterable (PaddedLoader / BucketedLoader): a worker
+    thread assembles the next `depth` batches (sample fetch + neighbor-
+    list cache lookups + collate padding) while the device is busy with
+    the current step, overlapping host time with device time -- the
+    ANI-scale data-feed pattern (SURVEY.md section 7 "streaming
+    ingestion"; the reference's torch DataLoader has num_workers for the
+    same purpose but the repo never sets it).
+
+    Exceptions in the worker propagate to the consumer on the next
+    __next__. Iteration is restartable (a fresh thread per epoch); the
+    worker is a daemon, so abandoning an epoch mid-way leaks nothing
+    worse than one blocked thread holding `depth` batches.
+    '''
+
+    def __init__(self, loader, depth=2):
+        self.loader = loader
+        self.depth = max(1, int(depth))
+        # pass through attributes consumers read (n_pad, buckets, the
+        # shuffling RNG the Trainer checkpoints, ...)
+        for attr in ('n_pad', 'batch_size', 'dataset', 'buckets', 'dtype',
+                     '_rng'):
+            if hasattr(loader, attr):
+                setattr(self, attr, getattr(loader, attr))
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+        q = queue.Queue(maxsize=self.depth)
+        END = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+                q.put(END)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -35,6 +35,7 @@ def parse_train_test(
         bucketed=False,
         bucket_multiple=8,
         precompute_nlist=None,
+        prefetch=0,
         **dataset_kwargs):
     '''Build the three loaders + scaler statistics.
 
@@ -50,6 +51,10 @@ def parse_train_test(
     removing the per-step in-jit graph build. mode 'newton3'/'inverse'
     require the matching model flag and must match the model's cutoff and
     k_max (see data/prelists.py).
+
+    `prefetch: 2` wraps each loader in PrefetchLoader: a background
+    thread assembles the next batches (sample fetch + collate + cached
+    neighbor lists) while the device computes.
 
     Returns:
         (train_gen, val_gen, test_gen, stats)
@@ -115,6 +120,11 @@ def parse_train_test(
         test_gen = PaddedLoader(test_data, test_batch_size,
                                 shuffle=len(test_data) > 0, n_pad=n_pad,
                                 seed=seed + 2)
+    if prefetch:
+        from newtonnet_tpu.data.loader import PrefetchLoader
+        train_gen, val_gen, test_gen = (
+            PrefetchLoader(g, depth=prefetch)
+            for g in (train_gen, val_gen, test_gen))
     print(f'batch size (train, val, test): '
           f'{train_batch_size}, {val_batch_size}, {test_batch_size}')
 

@@ -303,3 +303,44 @@ def test_precomputed_lists_through_trainer():
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                    atol=1e-7)
+
+
+def test_prefetch_loader_matches_direct():
+    '''PrefetchLoader yields byte-identical batches in the same order as
+    its wrapped loader and propagates worker exceptions.'''
+    from newtonnet_tpu.data import PaddedLoader, PrefetchLoader
+
+    class Frames:
+        max_atoms = 6
+
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            return {'z': r.choice([1, 8], size=6).astype(np.int32),
+                    'pos': r.randn(6, 3), 'cell': np.zeros((3, 3)),
+                    'energy': float(r.randn()), 'force': r.randn(6, 3)}
+
+    loader = PaddedLoader(Frames(), batch_size=3, shuffle=True, seed=4)
+    pre = PrefetchLoader(PaddedLoader(Frames(), batch_size=3, shuffle=True,
+                                      seed=4), depth=2)
+    for epoch in range(2):  # restartable, RNG advances identically
+        direct = list(loader)
+        fetched = list(pre)
+        assert len(direct) == len(fetched) == 3
+        for a, b in zip(direct, fetched):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    class Boom:
+        max_atoms = 4
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            raise RuntimeError('boom')
+
+    with pytest.raises(RuntimeError, match='boom'):
+        list(PrefetchLoader(PaddedLoader(Boom(), batch_size=1)))
