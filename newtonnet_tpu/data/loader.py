@@ -347,7 +347,12 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
     }
     # precomputed neighbor lists (data/prelists.py): padded along atoms,
     # fixed slot width K from the builder's k_max
-    if samples and 'nlist_idx' in samples[0]:
+    with_nl = sum('nlist_idx' in s for s in samples)
+    if with_nl and with_nl != len(samples):
+        raise ValueError(
+            'mixed batch: some samples carry precomputed neighbor lists '
+            'and some do not (wrap every dataset in NeighborListDataset)')
+    if with_nl:
         K = samples[0]['nlist_idx'].shape[-1]
         batch['nlist_idx'] = np.zeros((B, N, K), np.int32)
         batch['nlist_mask'] = np.zeros((B, N, K), bool)

@@ -26,6 +26,29 @@ recompute achieves the same differentiability from a fixed index set.
 '''
 import numpy as np
 
+_jit_nl = None
+
+
+def _jit_neighbor_list(pos, cell, active, cutoff, k, mic_mode):
+    # module-level jitted builder: a fresh lambda per frame would defeat
+    # the jit cache and recompile for every frame of the dataset
+    global _jit_nl
+    if _jit_nl is None:
+        import functools
+
+        import jax
+
+        from newtonnet_tpu.ops.nlist import neighbor_list
+
+        @functools.partial(jax.jit,
+                           static_argnames=('cutoff', 'k', 'mic_mode'))
+        def fn(pos, cell, active, cutoff, k, mic_mode):
+            idx, mask, _, ovf = neighbor_list(pos, cell, active, cutoff, k,
+                                              mic_mode=mic_mode)
+            return idx, mask, ovf
+        _jit_nl = fn
+    return _jit_nl(pos, cell, active, cutoff, k, mic_mode)
+
 
 def frame_neighbor_lists(z, pos, cell, cutoff, k_max, mode='plain',
                          mic_mode='exact'):
@@ -64,28 +87,18 @@ def frame_neighbor_lists(z, pos, cell, cutoff, k_max, mode='plain',
         idx[:n_real] = idx_r
         mask[:n_real] = np.arange(build_k)[None, :] < count[:, None]
     else:
-        import jax
         import jax.numpy as jnp
-
-        from newtonnet_tpu.ops.nlist import neighbor_list
-        idx_d, mask_d, _, ovf = jax.jit(
-            lambda p, c, m: neighbor_list(p, c, m, cutoff, build_k,
-                                          mic_mode=mic_mode))(
+        idx_d, mask_d, ovf = _jit_neighbor_list(
             jnp.asarray(pos[None]), jnp.asarray(cell[None]),
-            jnp.asarray((z > 0)[None]))
+            jnp.asarray((z > 0)[None]), cutoff, build_k, mic_mode)
         if int(np.asarray(ovf).sum()):
             raise ValueError('neighbor overflow; raise k_max')
         idx, mask = np.asarray(idx_d[0]), np.asarray(mask_d[0])
     if mode == 'plain':
         return idx.astype(np.int32), mask
     if mode == 'inverse':
+        # symmetrize_slots dispatches to the native builder internally
         from newtonnet_tpu.ops.nlist import symmetrize_slots
-        if native.available():
-            out = native.symmetrize_slots_native(idx, mask, k_max)
-            if out is None:
-                raise ValueError(
-                    f'symmetric slot coloring needs > k_max={k_max} slots')
-            return out[0].astype(np.int32), out[1]
         idx2, m2 = symmetrize_slots(idx, mask, k_max=k_max)
         return idx2.astype(np.int32), m2
     if mode == 'newton3':

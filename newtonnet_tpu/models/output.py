@@ -244,7 +244,8 @@ class NewtonNet:
         if 'hessian' in needs:
             outputs['hessian'] = self._hessian(params, z, pos, cell, nlist)
         if 'bec' in needs:
-            outputs['bec'] = self._bec(params, z, pos, cell, out['charge'])
+            outputs['bec'] = self._bec(params, z, pos, cell, out['charge'],
+                                       nlist)
         return outputs
 
     def __call__(self, params, z, pos, cell):
@@ -305,7 +306,7 @@ class NewtonNet:
 
         return jax.vmap(single)(z, pos, cell, *(nlist or ()))
 
-    def _bec(self, params, z, pos, cell, charge):
+    def _bec(self, params, z, pos, cell, charge, nlist=None):
         '''Born effective charges (B, N, 3, 3).
 
         Z*_{i,ab} = dP_a/dr_{i,b} with polarization P = sum_j q_j r_j:
@@ -314,18 +315,20 @@ class NewtonNet:
         method's polarization derivative computed with jax.jacrev through
         the charge head.
         '''
-        def single_charges(z1, pos1, cell1):
+        def single_charges(z1, pos1, cell1, nl1):
             disp = self._identity_displacement(cell1[None])
             sym = 0.5 * (disp + jnp.swapaxes(disp, -1, -2))
             pos_d = jnp.einsum('bni,bij->bnj', pos1[None], sym)
             cell_d = jnp.einsum('bxi,bij->bxj', cell1[None], sym)
-            out = self.core.apply(params, z1[None], pos_d, cell_d)
+            nl = None if not nl1 else tuple(a[None] for a in nl1)
+            out = self.core.apply(params, z1[None], pos_d, cell_d, nlist=nl)
             return out['charge'][0]  # (N,)
 
-        def single_bec(z1, pos1, cell1, q1):
-            jac = jax.jacrev(lambda p: single_charges(z1, p, cell1))(pos1)
+        def single_bec(z1, pos1, cell1, q1, *nl1):
+            jac = jax.jacrev(
+                lambda p: single_charges(z1, p, cell1, nl1))(pos1)
             # jac[j, i, b] = dq_j / dr_{i, b}
             cross = jnp.einsum('ja,jib->iab', pos1, jac)  # (N, 3, 3)
             return q1[:, None, None] * jnp.eye(3, dtype=pos1.dtype) + cross
 
-        return jax.vmap(single_bec)(z, pos, cell, charge)
+        return jax.vmap(single_bec)(z, pos, cell, charge, *(nlist or ()))

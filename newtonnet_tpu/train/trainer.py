@@ -245,22 +245,60 @@ class Trainer:
         '''Precomputed neighbor lists riding the batch (data/prelists.py).
 
         Returns the nlist tuple the model expects, or None when the batch
-        carries no lists (the model then builds its graph in-jit). For
-        inverse_lists/newton3 models the K-major inverse lists are derived
-        on device (one scatter-max -- cheap relative to a train step).
+        carries no lists (the model then builds its graph in-jit).
         '''
         if not isinstance(batch, dict) or 'nlist_idx' not in batch:
             return None
+        import jax.numpy as jnp
         idx, mask = batch['nlist_idx'], batch['nlist_mask']
-        if (getattr(self.model, 'inverse_lists', False)
-                or getattr(self.model, 'newton3', False)):
-            import jax.numpy as jnp
-
+        if getattr(self.model, 'newton3', False):
+            # half lists are not involutions: derive the K-major inverse
+            # on device (one scatter-max -- cheap relative to a step)
             from newtonnet_tpu.ops.nlist import build_inverse_list
             inv, invm = build_inverse_list(jnp.swapaxes(idx, 1, 2),
                                            jnp.swapaxes(mask, 1, 2))
             return (idx, mask, inv, invm)
+        if getattr(self.model, 'inverse_lists', False):
+            # symmetric-slotted lists ARE their own inverse (involution):
+            # the K-major transpose suffices, no per-step scatter-max
+            return (idx, mask,
+                    jnp.swapaxes(idx, 1, 2), jnp.swapaxes(mask, 1, 2))
         return (idx, mask)
+
+    def _check_batch_nlist(self, batch):
+        '''One-time (first batch) structural validation that precomputed
+        lists match the model's list mode -- a mode mismatch (e.g. plain
+        lists fed to a newton3/inverse_lists model) would otherwise train
+        on silently wrong gradients (data/prelists.py documents the
+        pairing).'''
+        if not isinstance(batch, dict) or 'nlist_idx' not in batch:
+            return
+        import numpy as np
+        idx = np.asarray(batch['nlist_idx'])
+        mask = np.asarray(batch['nlist_mask'])
+        b = 0
+        if getattr(self.model, 'newton3', False):
+            # a valid half list has NO reciprocal pair: i in row j and
+            # j in row i simultaneously means a full/symmetric list
+            n = idx.shape[1]
+            rows = np.repeat(np.arange(n), idx.shape[2])[mask[b].ravel()]
+            cols = idx[b].ravel()[mask[b].ravel()]
+            fwd = set(zip(rows.tolist(), cols.tolist()))
+            if any((j, i) in fwd for i, j in fwd):
+                raise ValueError(
+                    'newton3 model fed a full/symmetric neighbor list '
+                    '(reciprocal edge found) -- set '
+                    "data.precompute_nlist mode: 'newton3'")
+        elif getattr(self.model, 'inverse_lists', False):
+            # symmetric-slotted lists are per-slot involutions
+            n = idx.shape[1]
+            ii = np.where(mask[b], idx[b], np.arange(n)[:, None])
+            if not (np.take_along_axis(ii, ii, axis=0)
+                    == np.arange(n)[:, None]).all():
+                raise ValueError(
+                    'inverse_lists model fed lists that are not '
+                    'symmetric-slotted (per-slot involution fails) -- set '
+                    "data.precompute_nlist mode: 'inverse'")
 
     @property
     def _edges_enabled(self):
@@ -650,6 +688,8 @@ class Trainer:
 
         for batch in generator:
             n += 1
+            if n == 1:
+                self._check_batch_nlist(batch)
             if spc > 1:
                 # chunks must be shape-homogeneous (BucketedLoader emits
                 # different paddings): flush on shape change

@@ -344,3 +344,44 @@ def test_prefetch_loader_matches_direct():
 
     with pytest.raises(RuntimeError, match='boom'):
         list(PrefetchLoader(PaddedLoader(Boom(), batch_size=1)))
+
+
+def test_trainer_rejects_mismatched_nlist_mode():
+    '''Plain precomputed lists fed to a newton3 model must raise loudly
+    (a silent mismatch would double-count every edge).'''
+    import jax
+    import jax.numpy as jnp
+
+    from newtonnet_tpu.data import collate
+    from newtonnet_tpu.data.prelists import NeighborListDataset
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    N, B = 10, 2
+
+    class Frames:
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(300 + i)
+            cell = np.diag([7.0, 7.0, 7.0])
+            return {'z': r.choice([1, 8], size=N).astype(np.int32),
+                    'pos': r.rand(N, 3) @ cell, 'cell': cell,
+                    'energy': 0.0, 'force': np.zeros((N, 3))}
+
+    ds = NeighborListDataset(Frames(), cutoff=4.0, k_max=9, mode='plain')
+    batch = collate([ds[i] for i in range(B)], n_pad=N, batch_pad=B)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = NewtonNet(graph_mode='neighborlist', cutoff=4.0, k_max=9,
+                      newton3=True, n_features=8, n_basis=4,
+                      n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                        batch['cell'])
+    t = Trainer(model=model, params=params,
+                loss_fns=get_loss_by_string({'energy': {}}),
+                optimizer=get_optimizer_by_string('adam', lr=1e-3))
+    with pytest.raises(ValueError, match='reciprocal edge'):
+        t.run_one_epoch([batch], step=True)

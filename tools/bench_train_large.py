@@ -68,30 +68,18 @@ def main(n_atoms=4096, *modes):
     main_loss, _ = get_loss_by_string(
         {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
 
-    def step_time(model, nlist, reverse_only):
+    def step_time(model, nlist):
         params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
                             batch['cell'])
         tx = optax.adam(1e-3)
         opt = tx.init(params)
 
-        if reverse_only:
-            def loss_fn(p):
-                preds = model.apply(p, batch['z'], batch['pos'],
-                                    batch['cell'], nlist=nlist)
-                return main_loss(preds, batch)
-
-            @jax.jit
-            def step(p, o):
-                loss, grads = jax.value_and_grad(loss_fn)(p)
-                updates, o = tx.update(grads, o, p)
-                return optax.apply_updates(p, updates), o, loss
-        else:
-            @jax.jit
-            def step(p, o):
-                loss, grads, _ = fastgrad.value_and_grad(
-                    model, main_loss, p, batch, nlist=nlist)
-                updates, o = tx.update(grads, o, p)
-                return optax.apply_updates(p, updates), o, loss
+        @jax.jit
+        def step(p, o):
+            loss, grads, _ = fastgrad.value_and_grad(
+                model, main_loss, p, batch, nlist=nlist)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
 
         params, opt, loss = step(params, opt)
         _ = float(loss)
@@ -109,12 +97,10 @@ def main(n_atoms=4096, *modes):
         if mode == 'injit':
             model = NewtonNet(k_max=80, **common)
             nlist = None
-            reverse_only = False
         elif mode == 'plain':
             model = NewtonNet(k_max=80, **common)
             idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 80)
             nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
-            reverse_only = False
         elif mode == 'newton3':
             model = NewtonNet(k_max=44, newton3=True, **common)
             idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 44,
@@ -123,10 +109,9 @@ def main(n_atoms=4096, *modes):
             inv, invm = build_inverse_list(jnp.swapaxes(idxj, 1, 2),
                                            jnp.swapaxes(mj, 1, 2))
             nlist = (idxj, mj, inv, invm)
-            reverse_only = True  # custom_vjp backward: no forward-mode
         else:
             raise SystemExit(f'unknown mode {mode}')
-        dt = step_time(model, nlist, reverse_only)
+        dt = step_time(model, nlist)
         print(f'{mode:8s}: {dt * 1e3:7.1f} ms/step  '
               f'{edges / dt / 1e6:6.2f} M edges/s')
 

@@ -43,7 +43,7 @@ def main(path, out=None):
     epoch = data.get('epoch', np.arange(len(rows)))
 
     fig, axes = plt.subplots(2, 2, figsize=(11, 7.5), dpi=120)
-    fig.suptitle(os.path.dirname(os.path.abspath(path)).split(os.sep)[-2:][0]
+    fig.suptitle(os.path.dirname(os.path.abspath(path)).split(os.sep)[-1]
                  + ' / log.csv', fontsize=10)
 
     ax = axes[0, 0]
