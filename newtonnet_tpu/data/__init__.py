@@ -2,6 +2,7 @@ from newtonnet_tpu.data.loader import (
     BucketedLoader,
     MolecularDataset,
     MolecularInMemoryDataset,
+    MolecularShardedDataset,
     PaddedLoader,
     PrefetchLoader,
     Subset,

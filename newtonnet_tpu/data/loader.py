@@ -519,3 +519,104 @@ class PrefetchLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+
+class MolecularShardedDataset(MolecularInMemoryDataset):
+    '''Sharded on-disk variant for very large datasets (ANI scale).
+
+    processed/ holds shard_{j}.npz files of `shard_size` frames each
+    (packed ragged arrays, same layout as the in-memory cache) plus a
+    meta.npz with per-frame atom counts and shard offsets. Peak memory is
+    bounded by one shard during BOTH processing (raw files are streamed
+    shard-by-shard) and reading (small LRU of decoded shards); init never
+    touches frame payloads. The reference's closest analogue is one
+    pickled data_{i}.pt per frame (ref loader.py:18-76), which needs a
+    million files and a million opens at ANI scale.
+    '''
+
+    def __init__(self, root, precision=np.float32, data_length_unit='Ang',
+                 data_energy_unit='eV', force_reload=False,
+                 pre_transform=None, pre_filter=None, shard_size=8192,
+                 cache_shards=2):
+        self.root = root
+        self.precision = np.dtype(precision)
+        self.units = {'length': get_unit(data_length_unit),
+                      'energy': get_unit(data_energy_unit)}
+        self.pre_transform = pre_transform
+        self.pre_filter = pre_filter
+        self.shard_size = int(shard_size)
+        self.cache_shards = max(1, int(cache_shards))
+        meta_path = osp.join(self.processed_dir, 'meta.npz')
+        if force_reload or not osp.exists(meta_path):
+            self.process()
+        meta = np.load(meta_path)
+        self._n_atoms = meta['n_atoms']          # (n_frames,)
+        self._shard_offsets = meta['offsets']    # (n_shards + 1,)
+        self._cache = {}                         # shard id -> decoded dict
+        self._cache_order = []
+
+    def process(self):
+        os.makedirs(self.processed_dir, exist_ok=True)
+        pending, n_atoms, offsets, shard_id = [], [], [0], 0
+
+        def flush():
+            nonlocal shard_id
+            if not pending:
+                return
+            packed = _pack(pending)
+            np.savez(osp.join(self.processed_dir, f'shard_{shard_id}.npz'),
+                     **packed)
+            offsets.append(offsets[-1] + len(pending))
+            shard_id += 1
+            pending.clear()
+
+        for raw_path in self.raw_paths:
+            for s in _parse_raw(raw_path, self.units, self.pre_transform,
+                                self.pre_filter):
+                pending.append(s)
+                n_atoms.append(len(s['z']))
+                if len(pending) == self.shard_size:
+                    flush()
+        flush()
+        np.savez(osp.join(self.processed_dir, 'meta.npz'),
+                 n_atoms=np.asarray(n_atoms, np.int32),
+                 offsets=np.asarray(offsets, np.int64))
+
+    def _shard(self, j):
+        if j not in self._cache:
+            if len(self._cache) >= self.cache_shards:
+                self._cache.pop(self._cache_order.pop(0))
+            d = np.load(osp.join(self.processed_dir, f'shard_{j}.npz'))
+            self._cache[j] = {k: d[k] for k in d.files}
+            self._cache_order.append(j)
+        return self._cache[j]
+
+    def __len__(self):
+        return int(self._shard_offsets[-1])
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        if idx < 0:
+            idx += len(self)
+        j = int(np.searchsorted(self._shard_offsets, idx, 'right') - 1)
+        d = self._shard(j)
+        i = idx - int(self._shard_offsets[j])
+        lo, hi = d['ptr'][i], d['ptr'][i + 1]
+        has_energy = d['energy'].size > 0
+        has_force = d['force'].size > 0
+        return Sample(
+            z=d['z'][lo:hi].astype(np.int32),
+            pos=d['pos'][lo:hi].astype(self.precision),
+            cell=d['cell'][i].astype(self.precision),
+            energy=self.precision.type(d['energy'][i])
+            if has_energy else None,
+            force=d['force'][lo:hi].astype(self.precision)
+            if has_force else None)
+
+    @property
+    def max_atoms(self):
+        return int(self._n_atoms.max())
+
+    @property
+    def frame_sizes(self):
+        return self._n_atoms

@@ -12,6 +12,7 @@ from newtonnet_tpu.data.loader import (
     BucketedLoader,
     MolecularDataset,
     MolecularInMemoryDataset,
+    MolecularShardedDataset,
     PaddedLoader,
     random_split,
 )
@@ -59,7 +60,11 @@ def parse_train_test(
     Returns:
         (train_gen, val_gen, test_gen, stats)
     '''
-    cls = MolecularInMemoryDataset if in_memory else MolecularDataset
+    # in_memory: True (one cache npz, all in RAM) | False (per-frame
+    # files, reference layout) | 'sharded' (shard_{j}.npz packs, bounded
+    # memory at ANI scale)
+    cls = {True: MolecularInMemoryDataset, False: MolecularDataset,
+           'sharded': MolecularShardedDataset}[in_memory]
     rng = np.random.default_rng(seed)
 
     print('Data:')

@@ -385,3 +385,31 @@ def test_trainer_rejects_mismatched_nlist_mode():
                 optimizer=get_optimizer_by_string('adam', lr=1e-3))
     with pytest.raises(ValueError, match='reciprocal edge'):
         t.run_one_epoch([batch], step=True)
+
+
+def test_sharded_dataset_matches_in_memory(tmp_path):
+    '''MolecularShardedDataset returns frame-identical samples to the
+    in-memory dataset over shard boundaries, with bounded shard cache.'''
+    import shutil
+
+    from newtonnet_tpu.data import (MolecularInMemoryDataset,
+                                    MolecularShardedDataset)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, '..', 'data', 'md17_aspirin', 'ccsd_test')
+    root = tmp_path / 'ds'
+    (root / 'raw').mkdir(parents=True)
+    for f in os.listdir(os.path.join(src, 'raw')):
+        shutil.copy(os.path.join(src, 'raw', f), root / 'raw' / f)
+    mem = MolecularInMemoryDataset(root=str(root))
+    shard = MolecularShardedDataset(root=str(root), shard_size=7,
+                                    cache_shards=2, force_reload=True)
+    assert len(shard) == len(mem)
+    assert shard.max_atoms == mem.max_atoms
+    for i in (0, 6, 7, 13, len(mem) - 1, 20, 3):  # cross shards, revisit
+        a, b = mem[i], shard[i]
+        np.testing.assert_array_equal(a['z'], b['z'])
+        np.testing.assert_allclose(a['pos'], b['pos'], atol=0)
+        np.testing.assert_allclose(a['force'], b['force'], atol=0)
+        assert abs(a['energy'] - b['energy']) == 0
+    assert len(shard._cache) <= 2
