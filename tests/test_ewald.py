@@ -300,3 +300,37 @@ def test_bec_under_pbc_finite_difference(rng):
         pm[0, i, b] -= eps
         fd = (polarization(pp) - polarization(pm)) / (2 * eps)
         np.testing.assert_allclose(bec[i, :, b], fd, rtol=1e-5, atol=1e-7)
+
+
+def test_bec_with_precomputed_newton3_lists(rng):
+    '''BEC through the newton3 half-list path == the dense-graph BEC
+    (the bec head threads the precomputed lists like the Hessian head).'''
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.ops.nlist import (build_inverse_list, neighbor_list,
+                                         newton3_half_list)
+
+    rs = np.random.RandomState(5)
+    N = 8
+    cell = np.diag([7.0, 8.0, 7.5])
+    pos = rs.rand(1, N, 3) @ cell
+    z = rs.choice([1, 8], size=(1, N)).astype(np.int32)
+    zj = jnp.asarray(z)
+    posj = jnp.asarray(pos, F64)
+    cellj = jnp.asarray(cell[None], F64)
+    common = dict(cutoff=5.0, n_features=8, n_basis=4, n_interactions=2,
+                  output_properties=['charge', 'bec'], param_dtype=F64)
+    dense = NewtonNet(**common)
+    idx, kmask, _, _ = neighbor_list(posj, cellj, zj > 0, 5.0, N - 1)
+    i2, m2 = newton3_half_list(np.asarray(idx), np.asarray(kmask))
+    i2, m2 = jnp.asarray(i2), jnp.asarray(m2)
+    inv, invm = build_inverse_list(jnp.swapaxes(i2, 1, 2),
+                                   jnp.swapaxes(m2, 1, 2))
+    n3 = NewtonNet(graph_mode='neighborlist', k_max=i2.shape[-1],
+                   newton3=True, **common)
+    params = dense.init(rng, zj, posj, cellj)
+    out_d = dense.apply(params, zj, posj, cellj)
+    out_3 = n3.apply(params, zj, posj, cellj, nlist=(i2, m2, inv, invm))
+    np.testing.assert_allclose(np.asarray(out_3['charge']),
+                               np.asarray(out_d['charge']), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out_3['bec']),
+                               np.asarray(out_d['bec']), atol=1e-9)
