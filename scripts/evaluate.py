@@ -48,8 +48,32 @@ def main():
 
     ds = MolecularInMemoryDataset(
         root=args.data, precision=np.dtype(args.precision))
+    model0 = models[0][0]
+    nlist_mode = ('newton3' if getattr(model0, 'newton3', False) else
+                  'inverse' if getattr(model0, 'inverse_lists', False)
+                  else None)
+    if nlist_mode:
+        # checkpoints trained with fast list formats need precomputed
+        # lists at evaluation time too; build them per frame on the host
+        from newtonnet_tpu.data import NeighborListDataset
+        ds = NeighborListDataset(ds, cutoff=model0.cutoff,
+                                 k_max=model0.k_max, mode=nlist_mode,
+                                 mic_mode=model0.mic_mode)
     loader = PaddedLoader(ds, batch_size=args.batch_size, shuffle=False)
     fns = [jax.jit(m.apply) for m, _ in models]
+
+    def batch_nlist(batch):
+        if 'nlist_idx' not in batch:
+            return None
+        idx = jnp.asarray(batch['nlist_idx'])
+        mask = jnp.asarray(batch['nlist_mask'])
+        if nlist_mode == 'newton3':
+            from newtonnet_tpu.ops.nlist import build_inverse_list
+            inv, invm = build_inverse_list(jnp.swapaxes(idx, 1, 2),
+                                           jnp.swapaxes(mask, 1, 2))
+            return (idx, mask, inv, invm)
+        return (idx, mask, jnp.swapaxes(idx, 1, 2),
+                jnp.swapaxes(mask, 1, 2))
 
     abs_e = sq_e = abs_f = sq_f = 0.0
     n_graphs = n_comp = 0
@@ -58,9 +82,10 @@ def main():
         z = jnp.asarray(batch['z'])
         pos = jnp.asarray(batch['pos'])
         cell = jnp.asarray(batch['cell'])
+        nl = batch_nlist(batch)
         es, fs = [], []
         for f, (_, params) in zip(fns, models):
-            out = f(params, z, pos, cell)
+            out = f(params, z, pos, cell, nlist=nl)
             es.append(np.asarray(out['energy']))
             fs.append(np.asarray(out['gradient_force']))
         e, frc = np.mean(es, axis=0), np.mean(fs, axis=0)
