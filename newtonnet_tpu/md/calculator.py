@@ -117,9 +117,9 @@ class NewtonNetCalculator:
             # ensemble members are averaged inside the same jit
             models = [self.model] + [m for m, _ in self._ensemble]
 
-            def apply(all_params, z, pos, cell):
+            def apply(all_params, z, pos, cell, nlist=None):
                 with jax.default_matmul_precision(self.matmul_precision):
-                    outs = [m.apply(p, z, pos, cell)
+                    outs = [m.apply(p, z, pos, cell, nlist=nlist)
                             for m, p in zip(models, all_params)]
                 if len(outs) == 1:
                     return outs[0]
@@ -150,8 +150,16 @@ class NewtonNetCalculator:
             c[0] = cell
 
         all_params = [self.params] + [p for _, p in self._ensemble]
+        nlist = None
+        if (getattr(self.model, 'graph_mode', 'dense') == 'neighborlist'
+                and (getattr(self.model, 'newton3', False)
+                     or getattr(self.model, 'inverse_lists', False))):
+            # fast list formats need host-built lists per call; the host
+            # coloring (native C++) is cheap next to a model evaluation
+            from newtonnet_tpu.md.driver import host_symmetric_nlist
+            nlist = host_symmetric_nlist(self.model, z, pos, c, skin=0.0)
         out = self._fn(n_pad)(all_params, jnp.asarray(z), jnp.asarray(pos),
-                              jnp.asarray(c))
+                              jnp.asarray(c), nlist)
         out = jax.device_get(out)
 
         results = {}
