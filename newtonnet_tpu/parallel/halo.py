@@ -56,6 +56,16 @@ def exchange_halo(x, n_halo, axis_name):
     per call, independent of the global atom count.
     '''
     d = jax.lax.axis_size(axis_name)
+    n_loc = x.shape[1]
+    if not 0 < n_halo <= n_loc:
+        raise ValueError(f'n_halo must be in [1, N_loc={n_loc}]; got '
+                         f'{n_halo} (n_halo=0 would slice x[:, -0:] as the '
+                         'whole shard)')
+    if d == 2 and 2 * n_halo > n_loc:
+        raise ValueError(
+            f'with 2 graph shards both halos come from the same neighbor; '
+            f'2*n_halo={2 * n_halo} > N_loc={n_loc} would duplicate atoms '
+            'in the extended axis and double-count their edges')
     first = x[:, :n_halo]
     last = x[:, -n_halo:]
     # shard i receives `last` from shard i-1 (left neighbor): perm sends i -> i+1
@@ -137,9 +147,16 @@ def check_halo_capacity(z, pos, cell, n_shards, n_halo, cutoff):
         periodic = cell is not None and np.any(np.asarray(cell[b]) != 0)
         width = None
         if periodic:
-            frac = np.linalg.solve(np.asarray(cell[b]).T, pos[b].T).T
+            c = np.asarray(cell[b])
+            frac = np.linalg.solve(c.T, pos[b].T).T
             x = frac[:, 0] % 1.0
-            width = cutoff / np.linalg.norm(cell[b][0])  # fractional cutoff
+            # fractional width of a Cartesian cutoff r along frac-x: the
+            # spacing between frac-x planes is d_perp = V / |a2 x a3|
+            # (equals |a1| only for orthogonal cells -- using |a1| would
+            # undersize the halo for skewed cells by 1/cos(tilt))
+            d_perp = abs(np.linalg.det(c)) / np.linalg.norm(
+                np.cross(c[1], c[2]))
+            width = cutoff / d_perp
         else:
             width = cutoff
         real = z[b] > 0
@@ -164,11 +181,20 @@ def check_halo_capacity(z, pos, cell, n_shards, n_halo, cutoff):
 # sharded model functions
 
 
-def _halo_core(model, graph_axis, n_halo):
+def _halo_core(model, graph_axis, n_halo, mesh=None):
     if model.graph_mode != 'neighborlist':
         raise ValueError("halo exchange requires graph_mode='neighborlist' "
                          "(use parallel/graph_parallel.py for the dense "
                          "all-gather path)")
+    if n_halo < 1:
+        raise ValueError('n_halo must be >= 1 (with halo=0 the core builds '
+                         'a purely local graph, silently dropping every '
+                         'cross-shard edge)')
+    if mesh is not None and mesh.shape[graph_axis] < 2:
+        raise ValueError(
+            'halo exchange needs >= 2 shards on the graph axis (with one '
+            'shard the wrapped halo duplicates local atoms as distance-0 '
+            'ghosts); use the plain neighborlist path instead')
     return model.core.clone(shard_axis=graph_axis, halo=n_halo)
 
 
@@ -178,7 +204,7 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
     with the batch sharded over `data_axis` and atoms (pre-sorted with
     spatial_sort) over `graph_axis` with halo exchange.
     '''
-    core = _halo_core(model, graph_axis, n_halo)
+    core = _halo_core(model, graph_axis, n_halo, mesh)
 
     def local_fn(params, z, pos, cell):
         atom_mask = z > 0
@@ -225,7 +251,7 @@ def make_halo_train_step(model, tx, mesh, n_halo,
     exactly d/dtheta sum (E_pred - E)^2 without differentiating through
     the cross-shard psum (whose legacy transpose would double-count).
     '''
-    core = _halo_core(model, graph_axis, n_halo)
+    core = _halo_core(model, graph_axis, n_halo, mesh)
 
     def local_grads(params, batch):
         z, pos, cell = batch['z'], batch['pos'], batch['cell']
@@ -233,8 +259,11 @@ def make_halo_train_step(model, tx, mesh, n_halo,
         atom_mask = (z > 0) & batch['graph_mask'][:, None]
         fmask = atom_mask.astype(pos.dtype)[..., None]
 
-        n_graphs = jax.lax.psum(jnp.sum(gmask), data_axis)
-        n_force = 3.0 * jax.lax.psum(jnp.sum(fmask), (data_axis, graph_axis))
+        # max(count, 1): an all-padding batch must yield zero loss, not
+        # 0/0 NaN grads (same guard as train/loss.py _masked_mean)
+        n_graphs = jnp.maximum(jax.lax.psum(jnp.sum(gmask), data_axis), 1.0)
+        n_force = jnp.maximum(
+            3.0 * jax.lax.psum(jnp.sum(fmask), (data_axis, graph_axis)), 1.0)
 
         def loss_fn(p):
             def local_energy(pos):
@@ -279,14 +308,7 @@ def make_halo_train_step(model, tx, mesh, n_halo,
         }
         return grads, metrics
 
-    batch_specs = {
-        'z': P(data_axis, graph_axis),
-        'pos': P(data_axis, graph_axis, None),
-        'cell': P(data_axis),
-        'energy': P(data_axis),
-        'force': P(data_axis, graph_axis, None),
-        'graph_mask': P(data_axis),
-    }
+    batch_specs = halo_batch_specs(data_axis, graph_axis)
     sharded_grads = shard_map(
         local_grads, mesh=mesh,
         in_specs=(P(), batch_specs),
@@ -304,10 +326,10 @@ def make_halo_train_step(model, tx, mesh, n_halo,
     return step
 
 
-def shard_halo_batch(batch, mesh, data_axis='data', graph_axis='graph'):
-    '''Device-put a (pre-sorted, padded) global batch with halo shardings.'''
-    from jax.sharding import NamedSharding
-    specs = {
+def halo_batch_specs(data_axis='data', graph_axis='graph'):
+    '''PartitionSpecs of a halo training batch (single source of truth for
+    make_halo_train_step and shard_halo_batch).'''
+    return {
         'z': P(data_axis, graph_axis),
         'pos': P(data_axis, graph_axis, None),
         'cell': P(data_axis),
@@ -315,5 +337,11 @@ def shard_halo_batch(batch, mesh, data_axis='data', graph_axis='graph'):
         'force': P(data_axis, graph_axis, None),
         'graph_mask': P(data_axis),
     }
+
+
+def shard_halo_batch(batch, mesh, data_axis='data', graph_axis='graph'):
+    '''Device-put a (pre-sorted, padded) global batch with halo shardings.'''
+    from jax.sharding import NamedSharding
+    specs = halo_batch_specs(data_axis, graph_axis)
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             if k in specs else v for k, v in batch.items()}

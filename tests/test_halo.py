@@ -200,3 +200,44 @@ def test_check_halo_capacity_flags_undersized():
     # a 1-atom halo cannot cover a 3 Angstrom boundary layer of a dense gas
     assert check_halo_capacity(batch['z'], batch['pos'], None, 4, 1,
                                CUTOFF) > 0
+
+
+def test_halo_guards():
+    '''Degenerate halo configurations raise instead of silently corrupting
+    physics: n_halo=0 (drops cross-shard edges), 2 shards with overlapping
+    halos (double-counts edges), and a 1-shard graph axis (distance-0
+    ghosts).'''
+    import optax
+
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.parallel import make_mesh
+    from newtonnet_tpu.parallel.halo import (exchange_halo,
+                                             make_halo_train_step)
+
+    model = NewtonNet(graph_mode='neighborlist', k_max=8, n_features=8,
+                      n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    tx = optax.adam(1e-3)
+    with pytest.raises(ValueError, match='n_halo must be >= 1'):
+        make_halo_train_step(model, tx, make_mesh(data=1, graph=4),
+                             n_halo=0)
+    with pytest.raises(ValueError, match='>= 2 shards'):
+        make_halo_train_step(model, tx, make_mesh(data=8, graph=1),
+                             n_halo=4)
+
+    mesh2 = make_mesh(data=1, graph=2)
+    x = jnp.zeros((1, 16, 3))  # N_loc=16 per shard after sharding by 2
+
+    def bad(x):
+        return exchange_halo(x, 10, 'graph')  # 2*10 > 16
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    with pytest.raises(ValueError, match='double-count'):
+        jax.jit(shard_map(bad, mesh=mesh2,
+                          in_specs=P(None, 'graph', None),
+                          out_specs=P(None, 'graph', None),
+                          check_vma=False))(jnp.zeros((1, 32, 3)))

@@ -194,6 +194,11 @@ def main():
                                          extra={'force': force}, n_shards=d)
             n_halo = max(32, int(2.2 * args.atoms_per_device
                                  * 5.0 / (Lx / d)))
+            # with 2 shards both halos come from the same neighbor: cap at
+            # N_loc/2 so the extended axis never duplicates an atom
+            cap = args.atoms_per_device // 2 if d == 2 \
+                else args.atoms_per_device
+            n_halo = min(n_halo, cap)
             model = NewtonNet(cutoff=5.0, n_features=args.n_features,
                               n_basis=20,
                               n_interactions=args.n_interactions,
