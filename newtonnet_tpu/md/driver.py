@@ -53,12 +53,7 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
     small systems.'''
     masses_c = masses[..., None]                       # (M, N, 1)
     atom_mask = (z > 0).astype(pos0.dtype)[..., None]  # (M, N, 1)
-    sigma = jnp.sqrt(2 * temp * friction / masses_c)
-    c1 = dt / 2.0 - dt * dt * friction / 8.0
-    c2 = dt * friction / 2.0 - dt * dt * friction * friction / 8.0
-    c3 = jnp.sqrt(dt) * sigma / 2.0 - dt ** 1.5 * friction * sigma / 8.0
-    c5 = dt ** 1.5 * sigma / (2.0 * jnp.sqrt(3.0))
-    c4 = friction / 2.0 * c5
+    c1, c2, c3, c4, c5 = _langevin_coeffs(masses_c, dt, temp, friction)
 
     amortize = (nlist_every > 1
                 and getattr(model, 'graph_mode', 'dense') == 'neighborlist')
@@ -72,22 +67,22 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         # beyond the true cutoff are re-masked inside the model every step
         if nlist_grid:
             from newtonnet_tpu.ops.cellgrid import cell_grid_neighbor_list
-            idx, kmask, _, _ = cell_grid_neighbor_list(
+            idx, kmask, _, ovf = cell_grid_neighbor_list(
                 pos, cell, z > 0, model.cutoff + skin, model.k_max,
                 nlist_grid, nlist_capacity, mic_mode=model.mic_mode)
         else:
             from newtonnet_tpu.ops.nlist import neighbor_list
-            idx, kmask, _, _ = neighbor_list(
+            idx, kmask, _, ovf = neighbor_list(
                 pos, cell, z > 0, model.cutoff + skin, model.k_max,
                 mic_mode=model.mic_mode)
         if getattr(model, 'reverse_lists', False):
             # amortize the transpose-list build with the rebuild
             from newtonnet_tpu.ops.nlist import build_reverse_list
             rev, rev_mask = build_reverse_list(idx, kmask)
-            return idx, kmask, rev, rev_mask
-        return idx, kmask
+            return (idx, kmask, rev, rev_mask), jnp.sum(ovf)
+        return (idx, kmask), jnp.sum(ovf)
 
-    def body(carry, key, nlist=None):
+    def body(carry, key, nlist=None, pos_ref=None):
         pos, vel, f, _ = carry
         xi = jax.random.normal(key, pos.shape, pos.dtype)
         key2 = jax.random.fold_in(key, 1)
@@ -99,7 +94,12 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         vel = (vel + c1 * f / masses_c - c2 * vel
                + c3 * xi - c4 * eta) * atom_mask
         ekin = 0.5 * jnp.sum(masses_c * vel * vel, axis=(-1, -2))  # (M,)
-        return (pos, vel, f, epot), (epot, ekin)
+        # max displacement since the chunk's list rebuild: an atom past
+        # skin/2 can have a NEW neighbor inside the true cutoff that the
+        # stale list cannot supply (the in-model re-mask only drops pairs)
+        disp = 0.0 if pos_ref is None else jnp.max(
+            jnp.sum((pos - pos_ref) ** 2, axis=-1))
+        return (pos, vel, f, epot), (epot, ekin, disp)
 
     vel0 = mom0 / masses_c
     e0, f0 = energy_forces(pos0)
@@ -110,20 +110,29 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         n_chunks = n_steps // nlist_every
 
         def chunk(carry, keys):
-            nlist = build_nlist(carry[0])
-            return jax.lax.scan(partial(body, nlist=nlist), carry, keys)
+            state, counters = carry
+            nlist, ovf = build_nlist(state[0])
+            state, (ep, ek, disp2) = jax.lax.scan(
+                partial(body, nlist=nlist, pos_ref=state[0]), state, keys)
+            counters = (counters[0] + ovf.astype(jnp.int32),
+                        counters[1] + (jnp.max(disp2)
+                                       > (skin / 2.0) ** 2).astype(jnp.int32))
+            return (state, counters), (ep, ek)
 
         keys = jax.random.split(key, n_steps).reshape(
             n_chunks, nlist_every, -1)
-        (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
-            chunk, carry0, keys)
+        counters0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        ((pos, vel, f, epot), counters), (epots, ekins) = jax.lax.scan(
+            chunk, (carry0, counters0), keys)
         # (n_chunks, nlist_every, M) -> (n_steps, M): keep the replica axis
         epots = epots.reshape(n_steps, *epots.shape[2:])
         ekins = ekins.reshape(n_steps, *ekins.shape[2:])
     else:
-        (pos, vel, f, epot), (epots, ekins) = jax.lax.scan(
+        (pos, vel, f, epot), (epots, ekins, _) = jax.lax.scan(
             body, carry0, jax.random.split(key, n_steps))
-    return pos, vel * masses_c, epots[::log_every], ekins[::log_every]
+        counters = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    return (pos, vel * masses_c, epots[::log_every], ekins[::log_every],
+            counters[0], counters[1])
 
 
 def _langevin_coeffs(masses_c, dt, temp, friction):
@@ -136,10 +145,9 @@ def _langevin_coeffs(masses_c, dt, temp, friction):
     return c1, c2, c3, c4, c5
 
 
-@partial(jax.jit, static_argnames=('model', 'n_steps'),
-         donate_argnums=(2,))
+@partial(jax.jit, static_argnames=('model',), donate_argnums=(2,))
 def _langevin_chunk(model, params, carry, z, masses, cell, nlist, keys, *,
-                    dt, temp, friction, n_steps):
+                    dt, temp, friction):
     '''One fixed-neighbor-list chunk of Langevin steps (host-rebuild mode).
 
     Used when the model runs with inverse_lists: the symmetric-slotted
@@ -329,7 +337,7 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                 carry, (ep, ek) = _langevin_chunk(
                     model, params, carry, z_j, masses_j, cell_j, nlist,
                     keys[c], dt=float(timestep), temp=kB_T,
-                    friction=float(friction), n_steps=int(nlist_every))
+                    friction=float(friction))
                 ep_list.append(np.asarray(ep))
                 ek_list.append(np.asarray(ek))
         pos_f = np.asarray(carry[0])
@@ -361,7 +369,8 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             nlist_grid = g
             nlist_capacity = suggest_capacity(z.shape[1], g)
     with jax.default_matmul_precision(matmul_precision):
-        pos_f, mom_f, epots, ekins = _run_langevin(
+        (pos_f, mom_f, epots, ekins, n_overflow,
+         n_skin_violations) = _run_langevin(
             model, params, jnp.asarray(z), jnp.asarray(pos),
             jnp.asarray(mom), jnp.asarray(masses), jnp.asarray(cell),
             dt=float(timestep), temp=float(kB * temperature_K),
@@ -370,6 +379,16 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             nlist_every=int(nlist_every), skin=float(skin),
             nlist_grid=nlist_grid, nlist_capacity=nlist_capacity)
     pos_f, mom_f = np.asarray(pos_f), np.asarray(mom_f)
+    n_overflow = int(n_overflow)
+    n_skin_violations = int(n_skin_violations)
+    if n_overflow or n_skin_violations:
+        import warnings
+        warnings.warn(
+            f'amortized MD list quality: {n_overflow} neighbor-capacity '
+            f'overflows, {n_skin_violations} chunks where an atom moved '
+            f'> skin/2 before the rebuild -- forces in those chunks '
+            f'missed neighbors; raise k_max/cell capacity, shrink '
+            f'nlist_every, or enlarge skin', stacklevel=2)
     for i, s in enumerate(systems):
         n = len(s)
         s.positions = pos_f[i, :n].astype(np.float64)
@@ -377,8 +396,11 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     dof = np.array([3 * len(s) for s in systems])
     epots, ekins = np.asarray(epots), np.asarray(ekins)
     log = {'epot': epots, 'ekin': ekins,
-           'temperature': 2.0 * ekins / (dof[None, :] * kB)}
+           'temperature': 2.0 * ekins / (dof[None, :] * kB),
+           'nlist_overflow': n_overflow,
+           'skin_violations': n_skin_violations}
     if not isinstance(system, (list, tuple)):
-        log = {k: v[:, 0] for k, v in log.items()}
+        log = {k: v[:, 0] if np.ndim(v) == 2 else v
+               for k, v in log.items()}
         return systems[0], log
     return systems, log

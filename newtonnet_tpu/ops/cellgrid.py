@@ -133,10 +133,12 @@ def cell_grid_neighbor_list(pos, cell, atom_mask, cutoff, k_max, grid,
         table = table[:ncells * C].reshape(ncells, C)
 
         # --- cell-block gathers ---------------------------------------
-        # own/cand atom positions in cell-blocked layout (sentinel row N
-        # holds a far-away point so masked slots never pass the cutoff)
-        far = jnp.max(jnp.abs(pos)) + 4 * cutoff + 1.0
-        pos_pad = jnp.concatenate([pos, jnp.full((1, 3), far, pos.dtype)])
+        # own/cand atom positions in cell-blocked layout. The sentinel row
+        # N is zero-valued; correctness rests on the own_valid/cand_valid
+        # index masks below (a "far" sentinel position would NOT be safe
+        # on its own: minimum_image wraps any displacement back into the
+        # box, where it can land inside the cutoff)
+        pos_pad = jnp.concatenate([pos, jnp.zeros((1, 3), pos.dtype)])
         pos_cells = pos_pad[table]          # (ncells, C, 3)
 
         # wrapped neighbor cell ids per cell: (ncells, n_off)

@@ -45,13 +45,14 @@ TWO_PI = 2.0 * jnp.pi
 def _k_lattice(n_k):
     '''Integer reciprocal-lattice offsets within an n_k cube (static shape).
 
-    Returns (M, 3) int offsets excluding the origin, M = (2 n_k + 1)^3 - 1.
+    Returns (M, 3) int offsets with M = (2 n_k + 1)^3 INCLUDING the
+    origin, plus a boolean mask that is False exactly at the origin --
+    every consumer must apply the mask (the k=0 term diverges).
     '''
     r = jnp.arange(-n_k, n_k + 1)
     kx, ky, kz = jnp.meshgrid(r, r, r, indexing='ij')
     k = jnp.stack([kx.ravel(), ky.ravel(), kz.ravel()], axis=-1)
     origin = jnp.all(k == 0, axis=-1)
-    # move the origin to the end and rely on masking (static shapes)
     return k, ~origin
 
 
@@ -82,7 +83,14 @@ def ewald_energy_periodic(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
     k2 = jnp.sum(kvec * kvec, axis=-1)  # (B, M)
     k2_safe = jnp.where(k_mask[None, :], k2, 1.0)
 
-    phase = jnp.einsum('bmy,bny->bmn', kvec, pos)  # (B, M, N)
+    # wrap positions into the cell before the phase: e^{ik.(r+nL)} equals
+    # e^{ik.r} exactly, but unwrapped MD positions drift to many box
+    # lengths and |k.r| ~ 1e3-1e4 rad costs fp32 sin/cos ~4 digits.
+    # frac%1 is piecewise-identity in pos, so derivatives stay exact.
+    frac = jnp.einsum('bny,byx->bnx', pos, jnp.linalg.inv(safe_cell))
+    pos_w = jnp.einsum('bnx,bxy->bny', frac % 1.0, safe_cell)
+    pos_w = jnp.where(is_periodic[:, None, None], pos_w, pos)
+    phase = jnp.einsum('bmy,bny->bmn', kvec, pos_w)  # (B, M, N)
     q = charge * atom_mask.astype(charge.dtype)
     s_re = jnp.einsum('bmn,bn->bm', jnp.cos(phase), q)
     s_im = jnp.einsum('bmn,bn->bm', jnp.sin(phase), q)

@@ -336,3 +336,39 @@ def test_newton3_md_matches_standard_driver():
                                atol=1e-5)
     np.testing.assert_allclose(results[True][1], results[False][1],
                                atol=1e-4)
+
+
+def test_amortized_md_reports_skin_violations():
+    '''The in-jit amortized driver surfaces list-quality counters: with a
+    tiny skin and long rebuild interval, atoms outrun skin/2 and the log
+    reports it (previously silent -- forces just missed new neighbors).'''
+    import warnings
+
+    import numpy as np
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(2)
+    n = 24
+    L = (n / 0.02) ** (1 / 3)
+    cell = np.diag([L, L, L])
+    s = System(rs.choice([1, 1, 8], size=n), rs.rand(n, 3) @ cell,
+               cell=cell, pbc=[True] * 3)
+    maxwell_boltzmann(s, 600.0, rng=np.random.default_rng(0))
+    model = NewtonNet(graph_mode='neighborlist', k_max=23,
+                      output_properties=['energy', 'gradient_force'])
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(s.numbers[None], jnp.int32),
+                        jnp.asarray(s.positions[None], jnp.float32),
+                        jnp.asarray(cell[None], jnp.float32))
+    params = jax.tree.map(lambda x: x * 0.01, params)  # nearly free atoms
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        _, log = run_langevin_on_device(
+            model, params, s, timestep=2.0 * units.fs, temperature_K=600,
+            friction=0.02, n_steps=40, log_every=10, nlist_every=20,
+            skin=1e-3)
+    assert log['skin_violations'] > 0
+    assert any('skin/2' in str(x.message) for x in w)
