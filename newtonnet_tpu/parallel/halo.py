@@ -199,18 +199,30 @@ def _halo_core(model, graph_axis, n_halo, mesh=None):
 
 
 def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
-                              graph_axis='graph'):
+                              graph_axis='graph', compute_stress=False):
     '''Jitted (params, z, pos, cell) -> (energy (B,), forces (B, N, 3))
     with the batch sharded over `data_axis` and atoms (pre-sorted with
     spatial_sort) over `graph_axis` with halo exchange.
+
+    With compute_stress=True also returns stress (B, 3, 3) (and the model
+    cell must be periodic): the strain displacement of the virial trick
+    (models/output.py:168-197) is applied to each shard's LOCAL positions
+    BEFORE the in-core halo exchange, so the displacement cotangent rides
+    the same transposed ppermutes as the force cotangent -- each shard's
+    disp grad accumulates every energy term that touches its own atoms,
+    and the psum over shards counts each exactly once (the cell path is
+    local to the shard whose energy it enters).
     '''
     core = _halo_core(model, graph_axis, n_halo, mesh)
 
     def local_fn(params, z, pos, cell):
         atom_mask = z > 0
 
-        def local_energy(pos):
-            out = core.apply(params, z, pos, cell)
+        def local_energy(pos, disp):
+            sym = 0.5 * (disp + jnp.swapaxes(disp, -1, -2))
+            pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
+            cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
+            out = core.apply(params, z, pos_d, cell_d)
             e_local = jnp.sum(out['atomic_energy'][..., 0]
                               * atom_mask.astype(pos.dtype), axis=-1)
             # differentiate the LOCAL energy sum; the halo ppermutes
@@ -219,16 +231,25 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
             # double-counting rationale)
             return jnp.sum(e_local), e_local
 
-        (_, e_local), pos_grad = jax.value_and_grad(
-            local_energy, has_aux=True)(pos)
+        disp = jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype),
+                                (pos.shape[0], 3, 3))
+        (_, e_local), (pos_grad, disp_grad) = jax.value_and_grad(
+            local_energy, argnums=(0, 1), has_aux=True)(pos, disp)
         energy = jax.lax.psum(e_local, graph_axis)
-        return energy, -pos_grad
+        if not compute_stress:
+            return energy, -pos_grad
+        volume = jnp.abs(jnp.linalg.det(cell))[:, None, None]
+        stress = jax.lax.psum(disp_grad, graph_axis) / volume
+        return energy, -pos_grad, stress
 
+    out_specs = (P(data_axis), P(data_axis, graph_axis, None))
+    if compute_stress:
+        out_specs = out_specs + (P(data_axis),)
     sharded = shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), P(data_axis, graph_axis),
                   P(data_axis, graph_axis, None), P(data_axis)),
-        out_specs=(P(data_axis), P(data_axis, graph_axis, None)),
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(sharded)
 

@@ -84,6 +84,43 @@ def test_halo_energy_force_parity(periodic, rng):
                                rtol=1e-7, atol=1e-9)
 
 
+def test_halo_stress_parity(rng):
+    '''Sharded stress (strain applied pre-exchange, disp grads psummed)
+    == the dense-graph stress head.'''
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=7, periodic=True)
+    assert check_halo_capacity(batch['z'], batch['pos'], batch['cell'],
+                               n_shards, n_halo, CUTOFF) == 0
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force',
+                                         'stress', 'virial'])
+    params = _params_for(dense, batch, rng)
+    ref = dense.apply(params, jnp.asarray(batch['z']),
+                      jnp.asarray(batch['pos']), jnp.asarray(batch['cell']))
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    fn = make_halo_energy_force_fn(nl_model, mesh, n_halo,
+                                   compute_stress=True)
+    sb = shard_halo_batch(
+        {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    energy, forces, stress = fn(params, sb['z'], sb['pos'], sb['cell'])
+
+    np.testing.assert_allclose(np.asarray(energy), np.asarray(ref['energy']),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(forces),
+                               np.asarray(ref['gradient_force']),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(stress), np.asarray(ref['stress']),
+                               rtol=1e-7, atol=1e-10)
+
+
 def test_halo_train_step_parity(rng):
     '''One halo-sharded train step == the same step on one device.'''
     import optax
