@@ -225,6 +225,11 @@ class MolecularInMemoryDataset:
     def max_atoms(self):
         return int(np.max(self._ptr[1:] - self._ptr[:-1]))
 
+    @property
+    def frame_sizes(self):
+        '''Per-frame atom counts (metadata only -- no payload decode).'''
+        return (self._ptr[1:] - self._ptr[:-1]).astype(np.int64)
+
 
 class MolecularDataset(MolecularInMemoryDataset):
     '''On-disk per-frame variant (ref loader.py:18-76): processed/ holds one
@@ -286,6 +291,10 @@ class MolecularDataset(MolecularInMemoryDataset):
     def max_atoms(self):
         return int(self._n_atoms.max())
 
+    @property
+    def frame_sizes(self):
+        return self._n_atoms.astype(np.int64)
+
 
 class Subset:
     '''Index-based dataset view (torch.utils.data.Subset analogue).'''
@@ -308,11 +317,35 @@ class Subset:
     def precision(self):
         return self.dataset.precision
 
+    @property
+    def frame_sizes(self):
+        return np.asarray(self.dataset.frame_sizes)[self.indices]
 
-def random_split(dataset, sizes, rng):
-    '''Split into consecutive random Subsets (torch random_split analogue).'''
+
+def random_split(dataset, sizes, rng, block=None):
+    '''Split into consecutive random Subsets (torch random_split analogue).
+
+    With `block` set (an int), randomization happens at the granularity of
+    blocks of `block` CONSECUTIVE frames instead of single frames: block
+    order is permuted, within-block order is kept, and the concatenation is
+    cut at the exact requested sizes. Each resulting Subset's indices are
+    then runs of consecutive frames -- the locality that the sharded
+    dataset (MolecularShardedDataset) needs so that one batch decodes one
+    or two shards instead of batch_size of them. Statistically this is the
+    standard approximate shuffle of streaming data systems: unbiased when
+    frame order within a block carries no label signal (at ANI scale the
+    raw corpus is written in generation order, so block boundaries are
+    arbitrary).
+    '''
     assert sum(sizes) == len(dataset)
-    perm = rng.permutation(len(dataset))
+    if block is None:
+        perm = rng.permutation(len(dataset))
+    else:
+        n_blocks = -(-len(dataset) // int(block))
+        order = rng.permutation(n_blocks)
+        perm = np.concatenate(
+            [np.arange(b * block, min((b + 1) * block, len(dataset)))
+             for b in order]) if n_blocks else np.zeros(0, np.int64)
     out, start = [], 0
     for size in sizes:
         out.append(Subset(dataset, perm[start:start + size]))
@@ -372,6 +405,28 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
     return batch
 
 
+def _block_shuffled(positions, rng, block):
+    '''Shuffle `positions` exactly (block=None) or locality-preservingly.
+
+    With `block` set, positions are chunked into runs of `block`
+    consecutive entries; each run is shuffled internally and the run order
+    is shuffled, so any window of batch_size << block consecutive output
+    entries stays inside one or two runs. Used with Subsets produced by
+    random_split(block=...), one run maps to one or two disk shards, which
+    keeps the sharded dataset's LRU from thrashing (each batch decodes a
+    couple of shards instead of batch_size of them).
+    '''
+    if block is None:
+        return positions[rng.permutation(len(positions))]
+    block = int(block)
+    runs = [positions[s:s + block]
+            for s in range(0, len(positions), block)]
+    order = rng.permutation(len(runs))
+    return np.concatenate(
+        [runs[r][rng.permutation(len(runs[r]))] for r in order]) \
+        if runs else positions
+
+
 class BucketedLoader:
     '''Size-bucketed padded batch iterator for heterogeneous datasets.
 
@@ -387,14 +442,21 @@ class BucketedLoader:
     '''
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
-                 bucket_multiple=8):
+                 bucket_multiple=8, shuffle_block=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.bucket_multiple = bucket_multiple
+        self.shuffle_block = shuffle_block
         self._rng = np.random.default_rng(seed)
         self.dtype = np.dtype(getattr(dataset, 'precision', np.float32))
-        sizes = np.array([len(dataset[i]['z']) for i in range(len(dataset))])
+        if hasattr(dataset, 'frame_sizes'):
+            # metadata path: no payload decode to learn the sizes (at ANI
+            # scale the per-sample loop below would read the whole corpus)
+            sizes = np.asarray(dataset.frame_sizes)
+        else:
+            sizes = np.array([len(dataset[i]['z'])
+                              for i in range(len(dataset))])
         self._bucket_of = np.maximum(
             bucket_multiple,
             _round_up(sizes, bucket_multiple))
@@ -412,10 +474,12 @@ class BucketedLoader:
         for b in self.buckets:
             idxs = np.nonzero(self._bucket_of == b)[0]
             if self.shuffle:
-                idxs = idxs[self._rng.permutation(len(idxs))]
+                idxs = _block_shuffled(idxs, self._rng, self.shuffle_block)
             for start in range(0, len(idxs), self.batch_size):
                 batches.append((b, idxs[start:start + self.batch_size]))
         if self.shuffle:
+            # batch ORDER is always fully random; shuffle_block only
+            # bounds how far apart the members of one batch can sit
             order = self._rng.permutation(len(batches))
             batches = [batches[i] for i in order]
         for n_pad, idxs in batches:
@@ -438,15 +502,18 @@ class PaddedLoader:
             multiple of 8 -- fp32 sublane tiling).
         seed: epoch shuffling seed.
         drop_last: drop the trailing partial batch instead of padding it.
+        shuffle_block: approximate-shuffle locality block (see
+            _block_shuffled); None = exact global shuffle.
     '''
 
     def __init__(self, dataset, batch_size, shuffle=False, n_pad=None,
-                 seed=0, drop_last=False):
+                 seed=0, drop_last=False, shuffle_block=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.n_pad = n_pad or max(8, _round_up(dataset.max_atoms, 8))
         self.drop_last = drop_last
+        self.shuffle_block = shuffle_block
         self._rng = np.random.default_rng(seed)
         self.dtype = np.dtype(getattr(dataset, 'precision', np.float32))
 
@@ -457,7 +524,8 @@ class PaddedLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        order = (self._rng.permutation(len(self.dataset)) if self.shuffle
+        order = (_block_shuffled(np.arange(len(self.dataset)), self._rng,
+                                 self.shuffle_block) if self.shuffle
                  else np.arange(len(self.dataset)))
         for start in range(0, len(self), 1):
             idx = order[start * self.batch_size:(start + 1) * self.batch_size]
@@ -554,6 +622,7 @@ class MolecularShardedDataset(MolecularInMemoryDataset):
         self._shard_offsets = meta['offsets']    # (n_shards + 1,)
         self._cache = {}                         # shard id -> decoded dict
         self._cache_order = []
+        self.shard_loads = 0
 
     def process(self):
         os.makedirs(self.processed_dir, exist_ok=True)
@@ -589,6 +658,7 @@ class MolecularShardedDataset(MolecularInMemoryDataset):
             d = np.load(osp.join(self.processed_dir, f'shard_{j}.npz'))
             self._cache[j] = {k: d[k] for k in d.files}
             self._cache_order.append(j)
+            self.shard_loads += 1  # observability: LRU miss counter
         return self._cache[j]
 
     def __len__(self):

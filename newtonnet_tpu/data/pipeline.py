@@ -37,6 +37,7 @@ def parse_train_test(
         bucket_multiple=8,
         precompute_nlist=None,
         prefetch=0,
+        locality_block='auto',
         **dataset_kwargs):
     '''Build the three loaders + scaler statistics.
 
@@ -57,6 +58,14 @@ def parse_train_test(
     thread assembles the next batches (sample fetch + collate + cached
     neighbor lists) while the device computes.
 
+    `locality_block` (YAML data section) keeps disk locality at ANI scale:
+    splits and epoch shuffles randomize blocks of that many CONSECUTIVE
+    frames instead of single frames, so one batch decodes one or two
+    shard_{j}.npz packs instead of batch_size of them (loader.py
+    _block_shuffled). 'auto' (default) enables it with the dataset's
+    shard_size when `in_memory: sharded` and disables it otherwise; an int
+    forces that block size; null/0 forces exact global shuffling.
+
     Returns:
         (train_gen, val_gen, test_gen, stats)
     '''
@@ -72,9 +81,14 @@ def parse_train_test(
         raise ValueError('train_root must be provided')
     train_data = cls(root=train_root, **dataset_kwargs)
     print(f'load {len(train_data)} data from {train_root}')
+    if locality_block == 'auto':
+        locality_block = (getattr(train_data, 'shard_size', None)
+                          if in_memory == 'sharded' else None)
+    locality_block = locality_block or None
     train_size = len(train_data) if train_size is None else train_size
     train_data, left_data = random_split(
-        train_data, [train_size, len(train_data) - train_size], rng)
+        train_data, [train_size, len(train_data) - train_size], rng,
+        block=locality_block)
     if val_root is not None:
         val_data = cls(root=val_root, **dataset_kwargs)
         print(f'load {len(val_data)} data from {val_root}')
@@ -82,7 +96,8 @@ def parse_train_test(
         val_data = left_data
     val_size = len(val_data) if val_size is None else val_size
     val_data, left_data = random_split(
-        val_data, [val_size, len(val_data) - val_size], rng)
+        val_data, [val_size, len(val_data) - val_size], rng,
+        block=locality_block)
     if test_root is not None:
         test_data = cls(root=test_root, **dataset_kwargs)
         print(f'load {len(test_data)} data from {test_root}')
@@ -90,7 +105,8 @@ def parse_train_test(
         test_data = left_data
     test_size = len(test_data) if test_size is None else test_size
     test_data, _ = random_split(
-        test_data, [test_size, len(test_data) - test_size], rng)
+        test_data, [test_size, len(test_data) - test_size], rng,
+        block=locality_block)
     print(f'data size (train, val, test): '
           f'{len(train_data)}, {len(val_data)}, {len(test_data)}')
 
@@ -103,7 +119,8 @@ def parse_train_test(
     if bucketed:
         train_gen = BucketedLoader(train_data, train_batch_size,
                                    shuffle=True, seed=seed,
-                                   bucket_multiple=bucket_multiple)
+                                   bucket_multiple=bucket_multiple,
+                                   shuffle_block=locality_block)
         val_gen = BucketedLoader(val_data, val_batch_size, shuffle=False,
                                  seed=seed + 1,
                                  bucket_multiple=bucket_multiple)
@@ -118,7 +135,8 @@ def parse_train_test(
                                   if len(d) > 0) // 8) * 8)
 
         train_gen = PaddedLoader(train_data, train_batch_size, shuffle=True,
-                                 n_pad=n_pad, seed=seed)
+                                 n_pad=n_pad, seed=seed,
+                                 shuffle_block=locality_block)
         val_gen = PaddedLoader(val_data, val_batch_size,
                                shuffle=len(val_data) > 0,
                                n_pad=n_pad, seed=seed + 1)
@@ -133,10 +151,12 @@ def parse_train_test(
     print(f'batch size (train, val, test): '
           f'{train_batch_size}, {val_batch_size}, {test_batch_size}')
 
-    # statistics from one stats batch (ref parse_raw.py:81-88)
+    # statistics from one stats batch (ref parse_raw.py:81-88); visiting
+    # the random sample in sorted position order is statistically
+    # identical and keeps the sharded dataset's access sequential
     size = len(train_data) if stats_size is None else min(stats_size,
                                                           len(train_data))
-    stats_idx = rng.permutation(len(train_data))[:size]
+    stats_idx = np.sort(rng.permutation(len(train_data))[:size])
     stats = compute_statistics(train_data[i] for i in stats_idx)
 
     return train_gen, val_gen, test_gen, stats

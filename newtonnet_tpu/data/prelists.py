@@ -135,7 +135,7 @@ class NeighborListDataset:
         self.mic_mode = mic_mode
         self._cache = {}
         # pass through attributes loaders read (max_atoms, precision, ...)
-        for attr in ('max_atoms', 'precision'):
+        for attr in ('max_atoms', 'precision', 'frame_sizes'):
             if hasattr(dataset, attr):
                 setattr(self, attr, getattr(dataset, attr))
 

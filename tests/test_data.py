@@ -413,3 +413,75 @@ def test_sharded_dataset_matches_in_memory(tmp_path):
         np.testing.assert_allclose(a['force'], b['force'], atol=0)
         assert abs(a['energy'] - b['energy']) == 0
     assert len(shard._cache) <= 2
+
+
+def test_block_split_is_a_partition(tmp_path):
+    '''random_split(block=...) yields disjoint exact-size subsets covering
+    every frame, with each subset's indices in runs of consecutive frames.'''
+    from newtonnet_tpu.data.loader import random_split
+
+    class Ixs:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return i
+
+    rng = np.random.default_rng(0)
+    a, b, c = random_split(Ixs(), [55, 25, 20], rng, block=8)
+    idx = np.concatenate([s.indices for s in (a, b, c)])
+    assert len(a) == 55 and len(b) == 25 and len(c) == 20
+    np.testing.assert_array_equal(np.sort(idx), np.arange(100))
+    # locality: within each subset, consecutive positions are mostly
+    # consecutive frames (breaks only at block seams / cut points)
+    jumps = np.sum(np.diff(a.indices) != 1)
+    assert jumps <= 55 // 8 + 2
+
+
+def test_sharded_locality_shuffle_bounds_io(tmp_path):
+    '''With block split + block shuffle, one epoch over a sharded dataset
+    loads each shard O(1) times; a global shuffle would thrash the LRU.'''
+    from newtonnet_tpu.data import (MolecularShardedDataset, PaddedLoader,
+                                    random_split)
+
+    root = tmp_path / 'ds'
+    _write_raw_xyz(str(root), n_frames=96)
+    ds = MolecularShardedDataset(root=str(root), shard_size=8,
+                                 cache_shards=2, force_reload=True)
+    rng = np.random.default_rng(0)
+    train, rest = random_split(ds, [80, 16], rng, block=8)
+
+    ds.shard_loads = 0
+    loader = PaddedLoader(train, batch_size=4, shuffle=True,
+                          shuffle_block=8, seed=0)
+    seen = []
+    for batch in loader:
+        seen.extend(batch['energy'][batch['graph_mask']].tolist())
+    assert len(seen) == 80 and len(set(seen)) == 80  # full coverage
+    locality_loads = ds.shard_loads
+
+    ds.shard_loads = 0
+    for batch in PaddedLoader(train, batch_size=4, shuffle=True, seed=0):
+        pass
+    thrash_loads = ds.shard_loads
+    # 12 shards: locality mode re-loads each a handful of times; the
+    # global shuffle pays nearly one load per SAMPLE
+    assert locality_loads <= 3 * 12, locality_loads
+    assert thrash_loads > 3 * locality_loads, (thrash_loads, locality_loads)
+
+
+def test_bucketed_loader_uses_size_metadata(tmp_path):
+    '''BucketedLoader on a sharded dataset learns frame sizes from meta.npz
+    without decoding any shard payloads.'''
+    from newtonnet_tpu.data import BucketedLoader, MolecularShardedDataset
+
+    root = tmp_path / 'ds'
+    _write_raw_xyz(str(root), n_frames=32)
+    ds = MolecularShardedDataset(root=str(root), shard_size=8,
+                                 cache_shards=2, force_reload=True)
+    ds.shard_loads = 0
+    loader = BucketedLoader(ds, batch_size=4)
+    assert ds.shard_loads == 0
+    assert loader.buckets == [8]  # 4 atoms -> padded to the multiple
+    n = sum(int(b['graph_mask'].sum()) for b in loader)
+    assert n == 32
