@@ -554,6 +554,12 @@ def build_inverse_list(idx_kn, kmask_kn):
 # through the scan -- see ROADMAP.md.)
 
 def _inv_gather_impl(x, idx_kn, inv, inv_mask):
+    from newtonnet_tpu.ops import pallas_gather as pg
+    B, K, N = idx_kn.shape
+    flat = x.reshape(B, x.shape[1], -1)
+    if pg.eligible(flat, K * N):
+        out = pg.row_gather(flat, idx_kn.reshape(B, K * N))
+        return out.reshape((B, K, N) + x.shape[2:])
     return gather_nodes(x, idx_kn)
 
 
@@ -581,11 +587,21 @@ def _inv_scatter_impl(y, idx_kn, inv, inv_mask):
     ik = jnp.moveaxis(iv.reshape(B, kc, c * N), 1, 0)
     mk = jnp.moveaxis(inv_mask.reshape(B, kc, c * N), 1, 0)
 
+    from newtonnet_tpu.ops import pallas_gather as pg
+    feat_flat = 1
+    for s in feat:
+        feat_flat *= s
+    use_pallas = pg.eligible(
+        jax.ShapeDtypeStruct((B, c * N, feat_flat), y.dtype), c * N)
+
     def body(acc, sl):
         ys, ivc, m = sl
         flat = ys.reshape(B, c * N, -1)
-        g = jnp.take_along_axis(flat, ivc[..., None], axis=1,
-                                mode='promise_in_bounds')
+        if use_pallas:
+            g = pg.row_gather(flat, ivc)
+        else:
+            g = jnp.take_along_axis(flat, ivc[..., None], axis=1,
+                                    mode='promise_in_bounds')
         g = jnp.where(m[..., None], g, 0)
         g = g.reshape((B, c, N) + feat).sum(axis=1)
         return acc + g, None

@@ -349,3 +349,43 @@ def test_invlist_primitives_all_derivative_modes():
     out_v = jax.vmap(inv_gather, in_axes=(0, None, None, None))(
         xs, idx_kn, inv, invm)
     np.testing.assert_allclose(out_v[1], 2 * g, atol=0)
+
+
+def test_pallas_gather_interpret_parity(monkeypatch):
+    '''NEWTONNET_GATHER=pallas routes the inv-list primitives through the
+    VMEM-resident Pallas row gather (interpret mode on CPU); values and
+    every derivative mode match the XLA path bit-for-bit.'''
+    from newtonnet_tpu.ops.nlist import (build_inverse_list, inv_gather,
+                                         inv_scatter_sum, symmetrize_slots)
+
+    rs = np.random.RandomState(3)
+    B, N, K, F = 2, 16, 12, 128
+    pos = jnp.asarray(rs.rand(B, N, 3) * 8)
+    idx, kmask, _, _ = neighbor_list(pos, jnp.zeros((B, 3, 3)),
+                                     jnp.ones((B, N), bool), 3.0, K)
+    idx2, m2 = symmetrize_slots(np.asarray(idx), np.asarray(kmask))
+    idx_kn = jnp.swapaxes(jnp.asarray(idx2), 1, 2)
+    m_kn = jnp.swapaxes(jnp.asarray(m2), 1, 2)
+    inv, invm = build_inverse_list(idx_kn, m_kn)
+    Kc = idx_kn.shape[1]
+    x = jnp.asarray(rs.randn(B, N, F))
+    y = jnp.asarray(rs.randn(B, Kc, N, F)) * m_kn[..., None]
+
+    def everything():
+        g = inv_gather(x, idx_kn, inv, invm)
+        s = inv_scatter_sum(y, idx_kn, inv, invm)
+        loss = lambda x: jnp.sum(  # noqa: E731
+            (inv_gather(x, idx_kn, inv, invm) * m_kn[..., None]) ** 2)
+        dx = jax.grad(loss)(x)
+        ddx = jax.grad(lambda x: jnp.sum(jax.grad(loss)(x) ** 2))(x)
+        return [np.asarray(v) for v in (g, s, dx, ddx)]
+
+    ref = everything()
+    monkeypatch.setenv('NEWTONNET_GATHER', 'pallas')
+    monkeypatch.setenv('NEWTONNET_PALLAS_INTERPRET', '1')
+    from newtonnet_tpu.ops import pallas_gather
+    assert pallas_gather.eligible(
+        jax.ShapeDtypeStruct((B, N, F), jnp.float32), Kc * N)
+    got = everything()
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
