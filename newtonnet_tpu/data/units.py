@@ -42,6 +42,7 @@ kB = _k / _e               # eV/K
 amu = 1.0
 GPa = 1e9 / (_e * 1e30)    # eV/Ang^3
 Pascal = 1.0 / (_e * 1e30)
+bar = 1e5 * Pascal
 Debye = 1.0 / 1e11 / _e / _c
 
 _REGISTRY = {

@@ -133,3 +133,172 @@ class Langevin(_Integrator):
         f = s.get_forces()
         v += self.c1 * f / masses - self.c2 * v + self.c3 * xi - self.c4 * eta
         s.set_velocities(v)
+
+
+class NoseHooverChain(_Integrator):
+    '''Deterministic NVT: Nose-Hoover chain (Martyna-Tuckerman-Klein).
+
+    The standard production canonical-ensemble integrator: a chain of
+    `chain_length` thermostats propagated with the 3-point Suzuki-Yoshida
+    factorization around a velocity-Verlet core. Unlike Langevin it is
+    deterministic and carries an exactly conserved extended Hamiltonian
+    (`conserved_quantity()`), the drift of which is the integration-quality
+    diagnostic. (The reference's only MD protocol is ASE Langevin,
+    scripts/simulate.py:21-30; this is beyond-reference capability.)
+
+    Args:
+        system: System with a calculator attached.
+        timestep: integration step (e.g. 0.5 * units.fs).
+        temperature_K: target temperature.
+        tdamp: thermostat time constant (typically 25-100 fs; pass
+            e.g. 50 * units.fs).
+        chain_length: number of chained thermostats (>= 1, default 3).
+        n_sub: chain-propagator substeps per half step (default 1).
+    '''
+
+    _SY = (1.3512071919596578, -1.7024143839193155, 1.3512071919596578)
+
+    def __init__(self, system, timestep, temperature_K, tdamp,
+                 chain_length=3, n_sub=1, **kwargs):
+        super().__init__(system, timestep, **kwargs)
+        if chain_length < 1:
+            raise ValueError('chain_length must be >= 1')
+        self.temp = kB * temperature_K
+        self.dof = 3 * len(system)
+        self.Q = np.full(chain_length, self.temp * tdamp ** 2)
+        self.Q[0] *= self.dof
+        self.xi = np.zeros(chain_length)   # thermostat coordinates
+        self.vxi = np.zeros(chain_length)  # thermostat velocities
+        self.n_sub = int(n_sub)
+
+    def _g(self, j, akin):
+        if j == 0:
+            return (akin - self.dof * self.temp) / self.Q[0]
+        return (self.Q[j - 1] * self.vxi[j - 1] ** 2 - self.temp) / self.Q[j]
+
+    def _chain(self, dt2):
+        '''Propagate the chain over dt2; returns the momentum scale.'''
+        M = len(self.Q)
+        akin = 2.0 * self.system.kinetic_energy()
+        scale = 1.0
+        for _ in range(self.n_sub):
+            for w in self._SY:
+                wdt = w * dt2 / self.n_sub
+                self.vxi[M - 1] += 0.25 * wdt * self._g(M - 1, akin)
+                for j in range(M - 2, -1, -1):
+                    aa = math.exp(-0.125 * wdt * self.vxi[j + 1])
+                    self.vxi[j] = (self.vxi[j] * aa
+                                   + 0.25 * wdt * self._g(j, akin)) * aa
+                sfac = math.exp(-0.5 * wdt * self.vxi[0])
+                scale *= sfac
+                akin *= sfac * sfac
+                self.xi += 0.5 * wdt * self.vxi
+                for j in range(M - 1):
+                    aa = math.exp(-0.125 * wdt * self.vxi[j + 1])
+                    self.vxi[j] = (self.vxi[j] * aa
+                                   + 0.25 * wdt * self._g(j, akin)) * aa
+                self.vxi[M - 1] += 0.25 * wdt * self._g(M - 1, akin)
+        return scale
+
+    def step(self):
+        s = self.system
+        s.momenta = s.momenta * self._chain(0.5 * self.dt)
+        f = s.get_forces()
+        s.momenta = s.momenta + 0.5 * self.dt * f
+        s.positions = s.positions + self.dt * s.momenta / s.masses[:, None]
+        f = s.get_forces()
+        s.momenta = s.momenta + 0.5 * self.dt * f
+        s.momenta = s.momenta * self._chain(0.5 * self.dt)
+
+    def conserved_quantity(self):
+        '''Extended Hamiltonian H' = E + sum Q v_xi^2/2 + Nf kT xi_1
+        + kT sum_{j>1} xi_j -- exactly conserved by the exact dynamics.'''
+        e = self.system.get_potential_energy() + self.system.kinetic_energy()
+        e += 0.5 * float(np.sum(self.Q * self.vxi ** 2))
+        e += self.dof * self.temp * self.xi[0]
+        e += self.temp * float(np.sum(self.xi[1:]))
+        return e
+
+
+def _pressure(system):
+    '''Instantaneous isotropic pressure in eV/A^3: ideal-gas kinetic part
+    plus the potential (virial) part from the calculator's stress, which
+    follows the ASE sign convention stress = (1/V) dE/d(strain).'''
+    vol = abs(float(np.linalg.det(system.cell)))
+    if vol <= 0:
+        raise ValueError('pressure needs a periodic cell with volume > 0')
+    stress = np.asarray(system.get_stress())
+    trace = (np.sum(stress[:3]) if stress.shape == (6,)
+             else np.trace(stress.reshape(3, 3)))
+    return (2.0 * system.kinetic_energy() - trace * vol) / (3.0 * vol)
+
+
+class BerendsenNVT(_Integrator):
+    '''Berendsen weak-coupling thermostat around a velocity-Verlet core.
+
+    Quick equilibration tool (does NOT sample the exact canonical
+    ensemble; use NoseHooverChain or Langevin for production sampling).
+    Velocities are rescaled by sqrt(1 + dt/taut (T0/T - 1)) once per step,
+    capped to +-10% as in ASE's NVTBerendsen.
+    '''
+
+    def __init__(self, system, timestep, temperature_K, taut, **kwargs):
+        super().__init__(system, timestep, **kwargs)
+        self.t0 = float(temperature_K)
+        self.taut = taut
+
+    def _rescale(self):
+        s = self.system
+        t = max(s.temperature(), 1e-12)
+        lam2 = 1.0 + self.dt / self.taut * (self.t0 / t - 1.0)
+        lam = math.sqrt(min(max(lam2, 0.81), 1.21))
+        s.momenta = s.momenta * lam
+
+    def step(self):
+        self._rescale()
+        s = self.system
+        f = s.get_forces()
+        s.momenta = s.momenta + 0.5 * self.dt * f
+        s.positions = s.positions + self.dt * s.momenta / s.masses[:, None]
+        f = s.get_forces()
+        s.momenta = s.momenta + 0.5 * self.dt * f
+
+
+class BerendsenNPT(BerendsenNVT):
+    '''Isotropic Berendsen NPT: weak-coupling barostat + thermostat.
+
+    Scales the cell and positions by mu = (1 - compressibility dt/taup
+    (P0 - P))^(1/3) each step (capped to +-2% linear strain), with P the
+    instantaneous pressure incl. the ideal-gas kinetic term. The model must
+    predict `stress` (the calculator attaches it for periodic checkpoints).
+
+    Args:
+        pressure: target pressure in eV/A^3 (use units.bar / units.GPa).
+        taup: barostat time constant.
+        compressibility: isothermal compressibility in (eV/A^3)^-1;
+            the default is water's 4.57e-5 bar^-1, as in ASE.
+    '''
+
+    def __init__(self, system, timestep, temperature_K, taut, taup,
+                 pressure=0.0, compressibility=None, **kwargs):
+        super().__init__(system, timestep, temperature_K, taut, **kwargs)
+        from newtonnet_tpu.data.units import bar
+        self.p0 = float(pressure)
+        self.taup = taup
+        self.compr = (4.57e-5 / bar if compressibility is None
+                      else float(compressibility))
+
+    def pressure(self):
+        return _pressure(self.system)
+
+    def _scale_box(self):
+        s = self.system
+        p = self.pressure()
+        mu3 = 1.0 - self.compr * self.dt / self.taup * (self.p0 - p)
+        mu = min(max(mu3 ** (1.0 / 3.0), 0.98), 1.02)
+        s.cell = s.cell * mu
+        s.positions = s.positions * mu
+
+    def step(self):
+        self._scale_box()
+        super().step()

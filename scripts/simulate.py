@@ -40,7 +40,17 @@ def main():
     parser.add_argument('--out', default='md17_md')
     parser.add_argument('--on-device', action='store_true',
                         help='run the whole trajectory on device (lax.scan)')
+    parser.add_argument('--device', default=os.environ.get('JAX_PLATFORMS')
+                        or None,
+                        help="jax platform, e.g. 'cpu' (default: the "
+                             'installed accelerator; the axon TPU plugin '
+                             'ignores the JAX_PLATFORMS env var, so the '
+                             'config is pinned here before backend init)')
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+        jax.config.update('jax_platforms', args.device)
 
     import numpy as np
     from newtonnet_tpu.data import units

@@ -372,3 +372,78 @@ def test_amortized_md_reports_skin_violations():
             skin=1e-3)
     assert log['skin_violations'] > 0
     assert any('skin/2' in str(x.message) for x in w)
+
+
+class MICLennardJones:
+    """Periodic LJ with minimum-image convention and analytic virial
+    stress (ASE sign convention: stress = (1/V) dE/d(strain))."""
+
+    def __init__(self, eps=0.0104, sigma=3.4):
+        self.eps, self.sigma = eps, sigma
+
+    def calculate(self, system):
+        cell = system.cell
+        inv = np.linalg.inv(cell)
+        d = system.positions[:, None, :] - system.positions[None, :, :]
+        d -= np.round(d @ inv) @ cell
+        r2 = np.sum(d * d, axis=-1)
+        np.fill_diagonal(r2, np.inf)
+        inv6 = (self.sigma ** 2 / r2) ** 3
+        inv12 = inv6 * inv6
+        energy = 2.0 * self.eps * np.sum(inv12 - inv6)
+        coef = 4.0 * self.eps * (12.0 * inv12 - 6.0 * inv6) / r2
+        forces = np.sum(coef[:, :, None] * d, axis=1)
+        vol = abs(np.linalg.det(cell))
+        # stress = -(1/2V) sum_ij coef d (x) d (1/2 for double counting)
+        stress = -0.5 / vol * np.einsum('ij,ija,ijb->ab', coef, d, d)
+        return {'energy': energy, 'forces': forces, 'stress': stress}
+
+
+def _lj_crystal(scale=1.0):
+    a = 2 ** (1 / 6) * 3.4 * scale
+    g = np.arange(3) * a
+    pos = np.stack(np.meshgrid(g, g, g, indexing='ij'), -1).reshape(-1, 3)
+    s = System([18] * 27, pos, cell=np.eye(3) * (3 * a), pbc=[True] * 3)
+    s.calc = MICLennardJones()
+    return s
+
+
+def test_nose_hoover_chain_nvt():
+    """NHC on an interacting LJ solid: equilibrates to the target
+    temperature and conserves the extended Hamiltonian."""
+    from newtonnet_tpu.md.integrators import NoseHooverChain
+
+    s = _lj_crystal()
+    maxwell_boltzmann(s, 15.0, rng=np.random.default_rng(5))
+    dyn = NoseHooverChain(s, timestep=2.0 * units.fs, temperature_K=30,
+                          tdamp=50 * units.fs)
+    dyn.run(300)  # equilibrate (incl. heating 15 -> 30)
+    h0 = dyn.conserved_quantity()
+    temps = []
+    for _ in range(8):
+        dyn.run(100)
+        temps.append(s.temperature())
+    assert abs(np.mean(temps) - 30.0) < 6.0, np.mean(temps)
+    drift = abs(dyn.conserved_quantity() - h0)
+    assert drift < 1e-3, drift
+
+
+def test_berendsen_npt_relaxes_pressure():
+    """Compressed periodic LJ crystal under NPT: the barostat expands the
+    box and drives the pressure toward the target."""
+    from newtonnet_tpu.md.integrators import BerendsenNPT, _pressure
+
+    s = _lj_crystal(scale=0.94)  # compressed 6% below the LJ minimum
+    maxwell_boltzmann(s, 30.0, rng=np.random.default_rng(6))
+    p_start = _pressure(s)
+    assert p_start > 0  # compressed -> positive pressure
+    v_start = abs(np.linalg.det(s.cell))
+    dyn = BerendsenNPT(s, timestep=2.0 * units.fs, temperature_K=30,
+                       taut=50 * units.fs, taup=200 * units.fs,
+                       pressure=0.0)
+    dyn.run(300)
+    v_end = abs(np.linalg.det(s.cell))
+    p_end = _pressure(s)
+    assert v_end > v_start * 1.01, (v_start, v_end)
+    assert abs(p_end) < 0.5 * p_start, (p_start, p_end)
+    assert abs(s.temperature() - 30) < 30
