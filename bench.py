@@ -92,8 +92,45 @@ def matmul_flops_per_step(B, N, F, R, n_layers):
 PEAK_FLOPS_BF16 = 197e12
 
 
+def _probe_backend(total_wait_s=1200, probe_timeout_s=120):
+    '''Fail fast (instead of hanging forever) when the tunneled TPU is
+    wedged: the axon plugin blocks inside backend init with no timeout of
+    its own, so device health is checked in a SUBPROCESS with a timeout,
+    retrying for up to total_wait_s before giving up.'''
+    import subprocess
+    deadline = time.time() + total_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, '-c',
+                 'import jax; print("BACKEND_OK", jax.devices()[0].platform)'],
+                capture_output=True, text=True, timeout=probe_timeout_s)
+            if 'BACKEND_OK' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f'# backend probe {attempt} failed; retrying '
+              f'({int(deadline - time.time())}s left)', file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
     _enable_compilation_cache()
+    if not _probe_backend():
+        print(json.dumps({
+            'metric': 'edges/s/chip (train step, MD17 aspirin, B=100)',
+            'value': 0,
+            'unit': 'edges/s/chip',
+            'vs_baseline': 0,
+            'error': 'device backend unresponsive (tunneled TPU wedged); '
+                     'no measurement possible -- see BENCH_r01.json for '
+                     'the last healthy-tunnel measurement',
+        }))
+        sys.exit(3)
     import optax
     from newtonnet_tpu.models import NewtonNet
     from newtonnet_tpu.train import (fastgrad, get_loss_by_string,
