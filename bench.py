@@ -220,6 +220,9 @@ def main():
         'vs_baseline': round(vs_baseline, 3) if vs_baseline else None,
         'mfu_pct': round(100 * mfu, 1),
         'step_ms': round(dt * 1e3, 2),
+        # attribute the measurement: a cleanly-failed TPU plugin falls back
+        # to the CPU backend, which must not masquerade as a chip number
+        'device': jax.devices()[0].platform,
     }))
 
 

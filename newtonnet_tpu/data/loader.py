@@ -325,32 +325,55 @@ class Subset:
 def random_split(dataset, sizes, rng, block=None):
     '''Split into consecutive random Subsets (torch random_split analogue).
 
-    With `block` set (an int), randomization happens at the granularity of
-    blocks of `block` CONSECUTIVE frames instead of single frames: block
-    order is permuted, within-block order is kept, and the concatenation is
-    cut at the exact requested sizes. Each resulting Subset's indices are
-    then runs of consecutive frames -- the locality that the sharded
-    dataset (MolecularShardedDataset) needs so that one batch decodes one
-    or two shards instead of batch_size of them. Statistically this is the
-    standard approximate shuffle of streaming data systems: unbiased when
-    frame order within a block carries no label signal (at ANI scale the
-    raw corpus is written in generation order, so block boundaries are
-    arbitrary).
+    With `block` set (an int), the split is STRATIFIED over blocks of
+    `block` CONSECUTIVE frames: every block contributes a proportional
+    contiguous sub-run to every subset (largest-remainder rounding keeps
+    the requested sizes exact), so each subset's indices are runs of
+    consecutive frames -- the locality that the sharded dataset
+    (MolecularShardedDataset) needs so that one batch decodes one or two
+    shards instead of batch_size of them. Per-block stratification matters
+    because disk order usually correlates with content (the ANI release
+    files are grouped by formula): taking whole blocks would hand val/test
+    a single formula class. Within a block frames are assigned as
+    contiguous runs in randomly rotated subset order; only the within-run
+    ordering is non-random, which carries no label signal for corpora
+    written in generation order.
     '''
     assert sum(sizes) == len(dataset)
     if block is None:
         perm = rng.permutation(len(dataset))
-    else:
-        n_blocks = -(-len(dataset) // int(block))
-        order = rng.permutation(n_blocks)
-        perm = np.concatenate(
-            [np.arange(b * block, min((b + 1) * block, len(dataset)))
-             for b in order]) if n_blocks else np.zeros(0, np.int64)
-    out, start = [], 0
-    for size in sizes:
-        out.append(Subset(dataset, perm[start:start + size]))
-        start += size
-    return out
+        out, start = [], 0
+        for size in sizes:
+            out.append(Subset(dataset, perm[start:start + size]))
+            start += size
+        return out
+
+    block = int(block)
+    n = len(dataset)
+    n_blocks = -(-n // block)
+    sizes_arr = np.asarray(sizes, np.int64)
+    counts = np.zeros(len(sizes), np.int64)
+    parts = [[] for _ in sizes]
+    remaining = n
+    for bi in rng.permutation(n_blocks):
+        lo = bi * block
+        hi = min(lo + block, n)
+        nb = hi - lo
+        need = sizes_arr - counts
+        base = need * nb // remaining
+        leftover = nb - int(base.sum())
+        if leftover:
+            remainder = need * nb % remaining
+            base[np.argsort(-remainder, kind='stable')[:leftover]] += 1
+        rot = int(rng.integers(len(sizes))) if len(sizes) > 1 else 0
+        pos = lo
+        for j in np.roll(np.arange(len(sizes)), -rot):
+            parts[j].append(np.arange(pos, pos + base[j]))
+            pos += int(base[j])
+        counts += base
+        remaining -= nb
+    return [Subset(dataset, np.concatenate(p) if p
+                   else np.zeros(0, np.int64)) for p in parts]
 
 
 def _round_up(x, m):

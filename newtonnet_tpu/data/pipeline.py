@@ -139,10 +139,12 @@ def parse_train_test(
                                  shuffle_block=locality_block)
         val_gen = PaddedLoader(val_data, val_batch_size,
                                shuffle=len(val_data) > 0,
-                               n_pad=n_pad, seed=seed + 1)
+                               n_pad=n_pad, seed=seed + 1,
+                               shuffle_block=locality_block)
         test_gen = PaddedLoader(test_data, test_batch_size,
                                 shuffle=len(test_data) > 0, n_pad=n_pad,
-                                seed=seed + 2)
+                                seed=seed + 2,
+                                shuffle_block=locality_block)
     if prefetch:
         from newtonnet_tpu.data.loader import PrefetchLoader
         train_gen, val_gen, test_gen = (

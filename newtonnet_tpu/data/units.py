@@ -51,7 +51,8 @@ _REGISTRY = {
     'kJ': kJ, 'kcal': kcal, 'mol': mol,
     'kcal/mol': kcal / mol, 'kJ/mol': kJ / mol,
     'second': second, 'fs': fs, 'ps': ps,
-    'kB': kB, 'amu': amu, 'GPa': GPa, 'Pascal': Pascal, 'Debye': Debye,
+    'kB': kB, 'amu': amu, 'GPa': GPa, 'Pascal': Pascal, 'bar': bar,
+    'Debye': Debye,
 }
 
 

@@ -40,6 +40,32 @@ def _pad_systems(systems, dtype, multiple=8):
     return z, pos, mom, masses, cell
 
 
+def _make_nlist_builder(model, z, cell, skin, nlist_grid, nlist_capacity):
+    '''Skin-radius list builder: the list stays valid until any atom moves
+    ~skin/2; stale pairs beyond the true cutoff are re-masked inside the
+    model every step.'''
+
+    def build_nlist(pos):
+        if nlist_grid:
+            from newtonnet_tpu.ops.cellgrid import cell_grid_neighbor_list
+            idx, kmask, _, ovf = cell_grid_neighbor_list(
+                pos, cell, z > 0, model.cutoff + skin, model.k_max,
+                nlist_grid, nlist_capacity, mic_mode=model.mic_mode)
+        else:
+            from newtonnet_tpu.ops.nlist import neighbor_list
+            idx, kmask, _, ovf = neighbor_list(
+                pos, cell, z > 0, model.cutoff + skin, model.k_max,
+                mic_mode=model.mic_mode)
+        if getattr(model, 'reverse_lists', False):
+            # amortize the transpose-list build with the rebuild
+            from newtonnet_tpu.ops.nlist import build_reverse_list
+            rev, rev_mask = build_reverse_list(idx, kmask)
+            return (idx, kmask, rev, rev_mask), jnp.sum(ovf)
+        return (idx, kmask), jnp.sum(ovf)
+
+    return build_nlist
+
+
 @partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every',
                                    'nlist_every', 'skin', 'nlist_grid',
                                    'nlist_capacity'))
@@ -62,25 +88,8 @@ def _run_langevin(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
         out = model.apply(params, z, pos, cell, nlist=nlist)
         return out['energy'], out['gradient_force']   # (M,), (M, N, 3)
 
-    def build_nlist(pos):
-        # skin-radius list: valid until any atom moves ~skin/2; stale pairs
-        # beyond the true cutoff are re-masked inside the model every step
-        if nlist_grid:
-            from newtonnet_tpu.ops.cellgrid import cell_grid_neighbor_list
-            idx, kmask, _, ovf = cell_grid_neighbor_list(
-                pos, cell, z > 0, model.cutoff + skin, model.k_max,
-                nlist_grid, nlist_capacity, mic_mode=model.mic_mode)
-        else:
-            from newtonnet_tpu.ops.nlist import neighbor_list
-            idx, kmask, _, ovf = neighbor_list(
-                pos, cell, z > 0, model.cutoff + skin, model.k_max,
-                mic_mode=model.mic_mode)
-        if getattr(model, 'reverse_lists', False):
-            # amortize the transpose-list build with the rebuild
-            from newtonnet_tpu.ops.nlist import build_reverse_list
-            rev, rev_mask = build_reverse_list(idx, kmask)
-            return (idx, kmask, rev, rev_mask), jnp.sum(ovf)
-        return (idx, kmask), jnp.sum(ovf)
+    build_nlist = _make_nlist_builder(model, z, cell, skin, nlist_grid,
+                                      nlist_capacity)
 
     def body(carry, key, nlist=None, pos_ref=None):
         pos, vel, f, _ = carry
@@ -402,5 +411,189 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     if not isinstance(system, (list, tuple)):
         log = {k: v[:, 0] if np.ndim(v) == 2 else v
                for k, v in log.items()}
+        return systems[0], log
+    return systems, log
+
+
+# ------------------------------------------------------------------ #
+# Deterministic NVT on device: Nose-Hoover chain under lax.scan
+# (host-loop counterpart with identical algebra:
+#  md/integrators.NoseHooverChain)
+
+_SY_WEIGHTS = (1.3512071919596578, -1.7024143839193155, 1.3512071919596578)
+
+
+def _nhc_update(vel, masses_c, xi, vxi, Q, kT, dof, dt, n_sub=1):
+    '''Vectorized (replica-batched) MTK chain propagation for dt/2.
+
+    vel (M, N, 3), xi/vxi (M, C), Q (M, C), dof (M,). Returns the
+    momentum scale (M,) and the updated chain state. The chain length C
+    is static, so the per-link loops unroll at trace time.
+    '''
+    C = Q.shape[1]
+    akin = jnp.sum(masses_c * vel * vel, axis=(-1, -2))  # (M,)
+    scale = jnp.ones_like(akin)
+
+    def g(j, akin, vxi):
+        if j == 0:
+            return (akin - dof * kT) / Q[:, 0]
+        return (Q[:, j - 1] * vxi[:, j - 1] ** 2 - kT) / Q[:, j]
+
+    for _ in range(n_sub):
+        for w in _SY_WEIGHTS:
+            wdt = w * dt / n_sub
+            vxi = vxi.at[:, C - 1].add(0.25 * wdt * g(C - 1, akin, vxi))
+            for j in range(C - 2, -1, -1):
+                aa = jnp.exp(-0.125 * wdt * vxi[:, j + 1])
+                vxi = vxi.at[:, j].set(
+                    (vxi[:, j] * aa + 0.25 * wdt * g(j, akin, vxi)) * aa)
+            s = jnp.exp(-0.5 * wdt * vxi[:, 0])
+            scale = scale * s
+            akin = akin * s * s
+            xi = xi + 0.5 * wdt * vxi
+            for j in range(C - 1):
+                aa = jnp.exp(-0.125 * wdt * vxi[:, j + 1])
+                vxi = vxi.at[:, j].set(
+                    (vxi[:, j] * aa + 0.25 * wdt * g(j, akin, vxi)) * aa)
+            vxi = vxi.at[:, C - 1].add(0.25 * wdt * g(C - 1, akin, vxi))
+    return scale, xi, vxi
+
+
+@partial(jax.jit, static_argnames=('model', 'n_steps', 'log_every',
+                                   'chain_length', 'nlist_every', 'skin',
+                                   'nlist_grid', 'nlist_capacity'))
+def _run_nhc(model, params, z, pos0, mom0, masses, cell, *, dt, temp,
+             tdamp, chain_length, n_steps, log_every, nlist_every=0,
+             skin=1.0, nlist_grid=(), nlist_capacity=0):
+    masses_c = masses[..., None]
+    atom_mask = (z > 0).astype(pos0.dtype)[..., None]
+    M = z.shape[0]
+    dof = 3.0 * jnp.sum(z > 0, axis=1).astype(pos0.dtype)  # (M,)
+    Q = jnp.full((M, chain_length), temp * tdamp ** 2,
+                 pos0.dtype).at[:, 0].mul(dof)
+    amortize = (nlist_every > 1
+                and getattr(model, 'graph_mode', 'dense') == 'neighborlist')
+    build_nlist = _make_nlist_builder(model, z, cell, skin, nlist_grid,
+                                      nlist_capacity)
+
+    def energy_forces(pos, nlist=None):
+        out = model.apply(params, z, pos, cell, nlist=nlist)
+        return out['energy'], out['gradient_force']
+
+    def chain_energy(xi, vxi):
+        return (0.5 * jnp.sum(Q * vxi ** 2, axis=1)
+                + dof * temp * xi[:, 0]
+                + temp * jnp.sum(xi[:, 1:], axis=1))
+
+    def body(carry, _, nlist=None, pos_ref=None):
+        pos, vel, f, _, xi, vxi = carry
+        scale, xi, vxi = _nhc_update(vel, masses_c, xi, vxi, Q, temp,
+                                     dof, dt)
+        vel = vel * scale[:, None, None]
+        vel = (vel + 0.5 * dt * f / masses_c) * atom_mask
+        pos = pos + dt * vel * atom_mask
+        epot, f = energy_forces(pos, nlist=nlist)
+        vel = (vel + 0.5 * dt * f / masses_c) * atom_mask
+        scale, xi, vxi = _nhc_update(vel, masses_c, xi, vxi, Q, temp,
+                                     dof, dt)
+        vel = vel * scale[:, None, None]
+        ekin = 0.5 * jnp.sum(masses_c * vel * vel, axis=(-1, -2))
+        disp = 0.0 if pos_ref is None else jnp.max(
+            jnp.sum((pos - pos_ref) ** 2, axis=-1))
+        return ((pos, vel, f, epot, xi, vxi),
+                (epot, ekin, epot + ekin + chain_energy(xi, vxi), disp))
+
+    vel0 = mom0 / masses_c
+    e0, f0 = energy_forces(pos0)
+    xi0 = jnp.zeros((M, chain_length), pos0.dtype)
+    carry0 = (pos0, vel0, f0, e0, xi0, xi0)
+    if amortize:
+        assert n_steps % nlist_every == 0
+        n_chunks = n_steps // nlist_every
+
+        def chunk(carry, _):
+            state, counters = carry
+            nlist, ovf = build_nlist(state[0])
+            state, (ep, ek, ec, disp2) = jax.lax.scan(
+                partial(body, nlist=nlist, pos_ref=state[0]), state,
+                None, length=nlist_every)
+            counters = (counters[0] + ovf.astype(jnp.int32),
+                        counters[1] + (jnp.max(disp2)
+                                       > (skin / 2.0) ** 2).astype(jnp.int32))
+            return (state, counters), (ep, ek, ec)
+
+        counters0 = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        ((pos, vel, f, epot, xi, vxi), counters), (eps, eks, ecs) = \
+            jax.lax.scan(chunk, (carry0, counters0), None, length=n_chunks)
+        eps = eps.reshape(n_steps, *eps.shape[2:])
+        eks = eks.reshape(n_steps, *eks.shape[2:])
+        ecs = ecs.reshape(n_steps, *ecs.shape[2:])
+    else:
+        (pos, vel, f, epot, xi, vxi), (eps, eks, ecs, _) = jax.lax.scan(
+            body, carry0, None, length=n_steps)
+        counters = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    return (pos, vel * masses_c, eps[::log_every], eks[::log_every],
+            ecs[::log_every], counters[0], counters[1])
+
+
+def run_nhc_on_device(model, params, system, *, timestep, temperature_K,
+                      tdamp, chain_length=3, n_steps, log_every=100,
+                      dtype=np.float32, matmul_precision='highest',
+                      nlist_every=0, skin=1.0):
+    '''Deterministic NVT (Nose-Hoover chain) fully on device.
+
+    Same surface as run_langevin_on_device: `system` may be one System or
+    a replica list; the whole trajectory runs under lax.scan. The log
+    additionally carries 'conserved' -- the extended Hamiltonian
+    E + sum Q v_xi^2/2 + Nf kT xi_1 + kT sum_{j>1} xi_j, whose drift is
+    the integration-quality diagnostic (md/integrators.NoseHooverChain is
+    the host-loop counterpart with identical algebra).
+    '''
+    systems = system if isinstance(system, (list, tuple)) else [system]
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    z, pos, mom, masses, cell = _pad_systems(systems, dtype)
+
+    nlist_grid, nlist_capacity = (), 0
+    if (nlist_every > 1
+            and getattr(model, 'graph_mode', 'dense') == 'neighborlist'
+            and np.abs(np.linalg.det(cell[0])) > 0
+            and all(np.allclose(c, cell[0]) for c in cell)):
+        from newtonnet_tpu.ops.cellgrid import suggest_capacity, suggest_grid
+        g = suggest_grid(cell[0], model.cutoff + skin)
+        if min(g) >= 3:
+            nlist_grid = g
+            nlist_capacity = suggest_capacity(z.shape[1], g)
+    with jax.default_matmul_precision(matmul_precision):
+        (pos_f, mom_f, epots, ekins, econs, n_overflow,
+         n_skin_violations) = _run_nhc(
+            model, params, jnp.asarray(z), jnp.asarray(pos),
+            jnp.asarray(mom), jnp.asarray(masses), jnp.asarray(cell),
+            dt=float(timestep), temp=float(kB * temperature_K),
+            tdamp=float(tdamp), chain_length=int(chain_length),
+            n_steps=int(n_steps), log_every=int(log_every),
+            nlist_every=int(nlist_every), skin=float(skin),
+            nlist_grid=nlist_grid, nlist_capacity=nlist_capacity)
+    pos_f, mom_f = np.asarray(pos_f), np.asarray(mom_f)
+    n_overflow = int(n_overflow)
+    n_skin_violations = int(n_skin_violations)
+    if n_overflow or n_skin_violations:
+        import warnings
+        warnings.warn(
+            f'amortized MD list quality: {n_overflow} neighbor-capacity '
+            f'overflows, {n_skin_violations} chunks where an atom moved '
+            f'> skin/2 before the rebuild', stacklevel=2)
+    for i, s in enumerate(systems):
+        n = len(s)
+        s.positions = pos_f[i, :n].astype(np.float64)
+        s.momenta = mom_f[i, :n].astype(np.float64)
+    dof = np.array([3 * len(s) for s in systems])
+    epots, ekins = np.asarray(epots), np.asarray(ekins)
+    log = {'epot': epots, 'ekin': ekins,
+           'temperature': 2.0 * ekins / (dof[None, :] * kB),
+           'conserved': np.asarray(econs),
+           'nlist_overflow': n_overflow,
+           'skin_violations': n_skin_violations}
+    if not isinstance(system, (list, tuple)):
+        log = {k: v[:, 0] if np.ndim(v) == 2 else v for k, v in log.items()}
         return systems[0], log
     return systems, log

@@ -176,14 +176,16 @@ class NoseHooverChain(_Integrator):
             return (akin - self.dof * self.temp) / self.Q[0]
         return (self.Q[j - 1] * self.vxi[j - 1] ** 2 - self.temp) / self.Q[j]
 
-    def _chain(self, dt2):
-        '''Propagate the chain over dt2; returns the momentum scale.'''
+    def _chain(self, dt):
+        '''Propagate the chain for dt/2 (the internal 0.5/0.25/0.125
+        coefficients already encode the half step, as in the standard MTK
+        factorization); returns the momentum scale.'''
         M = len(self.Q)
         akin = 2.0 * self.system.kinetic_energy()
         scale = 1.0
         for _ in range(self.n_sub):
             for w in self._SY:
-                wdt = w * dt2 / self.n_sub
+                wdt = w * dt / self.n_sub
                 self.vxi[M - 1] += 0.25 * wdt * self._g(M - 1, akin)
                 for j in range(M - 2, -1, -1):
                     aa = math.exp(-0.125 * wdt * self.vxi[j + 1])
@@ -202,13 +204,13 @@ class NoseHooverChain(_Integrator):
 
     def step(self):
         s = self.system
-        s.momenta = s.momenta * self._chain(0.5 * self.dt)
+        s.momenta = s.momenta * self._chain(self.dt)
         f = s.get_forces()
         s.momenta = s.momenta + 0.5 * self.dt * f
         s.positions = s.positions + self.dt * s.momenta / s.masses[:, None]
         f = s.get_forces()
         s.momenta = s.momenta + 0.5 * self.dt * f
-        s.momenta = s.momenta * self._chain(0.5 * self.dt)
+        s.momenta = s.momenta * self._chain(self.dt)
 
     def conserved_quantity(self):
         '''Extended Hamiltonian H' = E + sum Q v_xi^2/2 + Nf kT xi_1
@@ -295,7 +297,9 @@ class BerendsenNPT(BerendsenNVT):
         s = self.system
         p = self.pressure()
         mu3 = 1.0 - self.compr * self.dt / self.taup * (self.p0 - p)
-        mu = min(max(mu3 ** (1.0 / 3.0), 0.98), 1.02)
+        # clamp BEFORE the cube root: a large instantaneous overpressure
+        # can push mu3 negative, and a negative float ** (1/3) is complex
+        mu = min(max(mu3, 0.98 ** 3), 1.02 ** 3) ** (1.0 / 3.0)
         s.cell = s.cell * mu
         s.positions = s.positions * mu
 

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM budget for the resident source block (v5e has 128 MB VMEM; leave
 # room for the output block, index block, and double buffering)
 _SOURCE_BUDGET_BYTES = 64 * 1024 * 1024
+_OUT_BLOCK_BUDGET_BYTES = 8 * 1024 * 1024
 _BLOCK_ROWS = 2048
 
 
@@ -37,15 +38,27 @@ def enabled():
     return os.environ.get('NEWTONNET_GATHER', 'xla') == 'pallas'
 
 
+def _block_rows(rows, f, itemsize):
+    '''Output-block row count: capped so block*F stays within the output
+    VMEM budget (double-buffered alongside the resident source).'''
+    cap = max(8, _OUT_BLOCK_BUDGET_BYTES // max(f * itemsize, 1))
+    return min(_BLOCK_ROWS, cap, max(8, rows))
+
+
 def eligible(x, rows):
-    '''Trace-time check that the (B, N, F) source fits the kernel.'''
+    '''Trace-time check that a (B, N, F) source gathered at `rows` rows
+    per batch entry fits the kernel (VMEM budgets, dtype, platform).'''
     if not enabled():
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
         return False
     if x.ndim != 3 or x.shape[-1] < 128:
         return False  # narrow rows (e.g. pos (N, 3)) pad 42x in VMEM lanes
-    if x.shape[1] * x.shape[2] * x.dtype.itemsize > _SOURCE_BUDGET_BYTES:
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if x.shape[1] * x.shape[2] * itemsize > _SOURCE_BUDGET_BYTES:
+        return False
+    # degenerate tiling: fewer gathered rows than one 8-sublane tile
+    if rows < 8:
         return False
     if not _interpret():
         try:
@@ -96,7 +109,7 @@ def row_gather(x, idx):
     '''
     b, n, f = x.shape
     e = idx.shape[1]
-    block = min(_BLOCK_ROWS, max(8, e))
+    block = _block_rows(e, f, jnp.dtype(x.dtype).itemsize)
     pad = (-e) % block
     if pad:
         idx = jnp.concatenate(

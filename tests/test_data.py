@@ -432,10 +432,20 @@ def test_block_split_is_a_partition(tmp_path):
     idx = np.concatenate([s.indices for s in (a, b, c)])
     assert len(a) == 55 and len(b) == 25 and len(c) == 20
     np.testing.assert_array_equal(np.sort(idx), np.arange(100))
-    # locality: within each subset, consecutive positions are mostly
-    # consecutive frames (breaks only at block seams / cut points)
-    jumps = np.sum(np.diff(a.indices) != 1)
-    assert jumps <= 55 // 8 + 2
+    # locality: each subset takes ONE contiguous sub-run per block, so
+    # index jumps are bounded by the block count
+    n_blocks = -(-100 // 8)
+    jumps = np.sum(np.diff(np.sort(a.indices)) != 1)
+    assert jumps <= n_blocks, jumps
+    # stratification: every block contributes ~proportionally to every
+    # subset (disk order correlates with content in real corpora, so
+    # val/test must not be whole blocks)
+    for sub, size in ((a, 55), (b, 25), (c, 20)):
+        for blk in range(n_blocks):
+            lo, hi = blk * 8, min(blk * 8 + 8, 100)
+            got = np.sum((sub.indices >= lo) & (sub.indices < hi))
+            expect = size / 100 * (hi - lo)
+            assert abs(got - expect) <= 1.5, (size, blk, got, expect)
 
 
 def test_sharded_locality_shuffle_bounds_io(tmp_path):

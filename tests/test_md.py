@@ -447,3 +447,47 @@ def test_berendsen_npt_relaxes_pressure():
     assert v_end > v_start * 1.01, (v_start, v_end)
     assert abs(p_end) < 0.5 * p_start, (p_start, p_end)
     assert abs(s.temperature() - 30) < 30
+
+
+def test_on_device_nhc_matches_host_integrator(rng):
+    '''The on-device NHC scan reproduces the host-loop NoseHooverChain
+    (identical algebra) step for step, and its extended Hamiltonian is
+    conserved over a longer run.'''
+    from newtonnet_tpu.md.calculator import NewtonNetCalculator
+    from newtonnet_tpu.md.driver import run_nhc_on_device
+    from newtonnet_tpu.md.integrators import NoseHooverChain
+
+    model = NewtonNet(n_features=16, n_basis=4, n_interactions=1,
+                      output_properties=['energy', 'gradient_force'])
+    s = _h2o()
+    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(jnp.asarray(s.numbers))
+    pos = jnp.zeros((1, 8, 3)).at[0, :3].set(jnp.asarray(s.positions))
+    params = model.init(rng, z, pos, jnp.zeros((1, 3, 3)))
+    maxwell_boltzmann(s, 300, rng=np.random.default_rng(0))
+
+    host = System(s.numbers.copy(), s.positions.copy(),
+                  momenta=s.momenta.copy())
+    host.calc = NewtonNetCalculator(model=model, params=params,
+                                    properties=['energy', 'forces'],
+                                    precision='float64')
+    dyn = NoseHooverChain(host, timestep=0.25 * units.fs, temperature_K=300,
+                          tdamp=10 * units.fs)
+    dyn.run(10)
+
+    dev = System(s.numbers.copy(), s.positions.copy(),
+                 momenta=s.momenta.copy())
+    dev2, log = run_nhc_on_device(
+        model, params, dev, timestep=0.25 * units.fs, temperature_K=300,
+        tdamp=10 * units.fs, n_steps=10, log_every=1, dtype=np.float64)
+    np.testing.assert_allclose(dev2.positions, host.positions,
+                               rtol=0, atol=1e-8)
+    np.testing.assert_allclose(dev2.momenta, host.momenta,
+                               rtol=0, atol=1e-7)
+
+    # conservation over a longer f64 run
+    dev3, log3 = run_nhc_on_device(
+        model, params, dev2, timestep=0.25 * units.fs, temperature_K=300,
+        tdamp=10 * units.fs, n_steps=400, log_every=10, dtype=np.float64)
+    drift = np.max(np.abs(log3['conserved'] - log3['conserved'][0]))
+    assert drift < 5e-4, drift
+    assert np.isfinite(log3['temperature']).all()

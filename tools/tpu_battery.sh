@@ -14,7 +14,9 @@ OUT=${1:-/tmp/tpu_battery}
 mkdir -p "$OUT"
 
 probe() {
-  timeout 180 python -u -c "import jax, jax.numpy as jnp; d=jax.devices(); x=jnp.ones((128,128)); (x@x).block_until_ready(); print('TPU_OK', d[0].platform)" 2>&1 | grep -q TPU_OK
+  # require platform 'tpu': a cleanly-failed plugin falls back to the CPU
+  # backend, which would otherwise record CPU numbers as TPU measurements
+  timeout 180 python -u -c "import jax, jax.numpy as jnp; d=jax.devices(); x=jnp.ones((128,128)); (x@x).block_until_ready(); print('TPU_OK', d[0].platform)" 2>&1 | grep -q 'TPU_OK tpu'
 }
 
 if ! probe; then
