@@ -19,6 +19,35 @@ from newtonnet_tpu.data.loader import (
 from newtonnet_tpu.data.statistics import compute_statistics
 
 
+class SpatialSortDataset:
+    '''Access-time wrapper sorting each frame's atoms along (fractional) x
+    (parallel/halo.spatial_sort), with force labels permuted alongside --
+    the pre-sort the halo-parallel slab decomposition requires.'''
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+        for attr in ('max_atoms', 'precision', 'frame_sizes'):
+            if hasattr(dataset, attr):
+                setattr(self, attr, getattr(dataset, attr))
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, i):
+        from newtonnet_tpu.parallel.halo import spatial_sort
+        s = dict(self.dataset[i])
+        extra = {}
+        if s.get('force') is not None:
+            extra['force'] = s['force'][None]
+        z_s, pos_s, extra_s = spatial_sort(
+            s['z'][None], s['pos'][None],
+            s['cell'][None] if s.get('cell') is not None else None, extra)
+        s['z'], s['pos'] = z_s[0], pos_s[0]
+        if 'force' in extra_s:
+            s['force'] = extra_s['force'][0]
+        return s
+
+
 def parse_train_test(
         in_memory=True,
         train_root=None,
@@ -38,6 +67,7 @@ def parse_train_test(
         precompute_nlist=None,
         prefetch=0,
         locality_block='auto',
+        spatial_sort=False,
         **dataset_kwargs):
     '''Build the three loaders + scaler statistics.
 
@@ -109,6 +139,14 @@ def parse_train_test(
         block=locality_block)
     print(f'data size (train, val, test): '
           f'{len(train_data)}, {len(val_data)}, {len(test_data)}')
+
+    if spatial_sort:
+        # halo-parallel training (training: parallel: {graph: G}) needs
+        # each frame's atoms sorted along (fractional) x for the slab
+        # decomposition; applied at access time so cached datasets work
+        train_data, val_data, test_data = (
+            SpatialSortDataset(d)
+            for d in (train_data, val_data, test_data))
 
     if precompute_nlist:
         from newtonnet_tpu.data.prelists import NeighborListDataset

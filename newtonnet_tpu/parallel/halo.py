@@ -254,18 +254,22 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
     return jax.jit(sharded)
 
 
-def make_halo_train_step(model, tx, mesh, n_halo,
-                         energy_weight=1.0, force_weight=50.0,
-                         data_axis='data', graph_axis='graph'):
-    '''Jitted sharded training step for the halo-parallel configuration.
+def make_halo_grads_fn(model, mesh, n_halo,
+                       energy_weight=1.0, force_weight=50.0,
+                       data_axis='data', graph_axis='graph',
+                       with_grads=True):
+    '''Sharded (not jitted) (params, batch) -> (grads, metrics) for the
+    halo-parallel configuration; the building block the Trainer's halo
+    mode and make_halo_train_step share. With with_grads=False the
+    parameter backward is skipped (evaluation epochs): grads is None and
+    only the metrics come back.
 
-    step(params, opt_state, batch) -> (params, opt_state, metrics) where
     batch = {z (B, N), pos (B, N, 3), cell (B, 3, 3), energy (B,),
     force (B, N, 3), graph_mask (B,)} is globally sharded (batch over
     `data_axis`, atoms over `graph_axis`, labels alongside). Loss =
     energy_weight * mse(E) + force_weight * mse(F) with masked-mean
     normalization identical to train/loss.py; gradients are psum-reduced
-    over both axes and the optax update runs replicated.
+    over both axes.
 
     The energy mse term is formed as a local surrogate
     sum(stop_grad(residual) * e_local): its gradient psum-accumulates to
@@ -313,8 +317,13 @@ def make_halo_train_step(model, tx, mesh, n_halo,
             }
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        grads = jax.lax.psum(grads, (data_axis, graph_axis))
+        if with_grads:
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.lax.psum(grads, (data_axis, graph_axis))
+        else:
+            loss, aux = loss_fn(params)
+            grads = None
 
         # metrics with global masked-mean normalization (train/loss.py)
         e_err = (aux['e_pred'] - batch['energy']) * gmask
@@ -322,19 +331,40 @@ def make_halo_train_step(model, tx, mesh, n_halo,
         e_mae = jax.lax.psum(jnp.sum(jnp.abs(e_err)), data_axis) / n_graphs
         f_mse = jax.lax.psum(aux['f_se'], (data_axis, graph_axis)) / n_force
         f_mae = jax.lax.psum(aux['f_ae'], (data_axis, graph_axis)) / n_force
+        # per-atom energy metrics (the standard eval battery's
+        # energy_per_atom_* rows): per-graph atom counts psum over shards
+        n_at = jnp.maximum(jax.lax.psum(
+            jnp.sum(atom_mask.astype(pos.dtype), axis=1), graph_axis), 1.0)
+        ea_err = e_err / n_at
+        ea_mse = jax.lax.psum(jnp.sum(ea_err * ea_err), data_axis) / n_graphs
+        ea_mae = jax.lax.psum(jnp.sum(jnp.abs(ea_err)), data_axis) / n_graphs
         metrics = {
             'loss': energy_weight * e_mse + force_weight * f_mse,
             'energy_mae': e_mae, 'energy_mse': e_mse,
+            'energy_per_atom_mae': ea_mae, 'energy_per_atom_mse': ea_mse,
             'gradient_force_mae': f_mae, 'gradient_force_mse': f_mse,
         }
+        if not with_grads:
+            return metrics
         return grads, metrics
 
     batch_specs = halo_batch_specs(data_axis, graph_axis)
-    sharded_grads = shard_map(
+    return shard_map(
         local_grads, mesh=mesh,
         in_specs=(P(), batch_specs),
-        out_specs=(P(), P()),
+        out_specs=(P(), P()) if with_grads else P(),
         check_vma=False)
+
+
+def make_halo_train_step(model, tx, mesh, n_halo,
+                         energy_weight=1.0, force_weight=50.0,
+                         data_axis='data', graph_axis='graph'):
+    '''Jitted sharded training step for the halo-parallel configuration:
+    step(params, opt_state, batch) -> (params, opt_state, metrics) with
+    the optax update running replicated (see make_halo_grads_fn).'''
+    sharded_grads = make_halo_grads_fn(
+        model, mesh, n_halo, energy_weight, force_weight,
+        data_axis, graph_axis)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):

@@ -115,6 +115,9 @@ def get_loss_by_string(losses):
     # decide whether the first-order fastgrad path (train/fastgrad.py) is
     # applicable to this loss configuration
     main_loss.keys = frozenset(losses)
+    # the raw config (weights/modes) -- the halo-parallel trainer path
+    # rebuilds this loss inside shard_map and needs the numbers
+    main_loss.config = {k: dict(v or {}) for k, v in losses.items()}
 
     def eval_loss(preds, batch):
         return {name: fn(preds, batch) for name, fn in evals.items()}

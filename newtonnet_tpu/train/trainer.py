@@ -125,6 +125,7 @@ class Trainer:
             steps_per_call=8,
             profile_dir=None,
             fast_grad='auto',
+            halo=None,
             ):
         self.model = model
         self.params = params
@@ -197,6 +198,35 @@ class Trainer:
         self._per_step_sched = bool(
             lr_scheduler is not None and getattr(lr_scheduler, 'per_step',
                                                  False))
+        # halo-exchange graph parallelism (parallel/halo.py): atoms of each
+        # (large, pre-sorted) frame sharded over the mesh 'graph' axis with
+        # boundary-only ppermute exchange per layer. The loss/gradients run
+        # inside shard_map with their own psum algebra, so the loss config
+        # is restricted to energy + gradient_force mse.
+        self.halo = dict(halo) if halo else None
+        if self.halo:
+            if (self.mesh is None or 'graph' not in self.mesh.axis_names
+                    or self.mesh.shape['graph'] < 2):
+                raise ValueError(
+                    "halo training needs a mesh with a 'graph' axis of "
+                    "size >= 2 (training: parallel: {data: D, graph: G})")
+            cfg = getattr(self.main_loss, 'config', None)
+            if (cfg is None or set(cfg) != {'energy', 'gradient_force'}
+                    or any(v.get('mode', 'mse') != 'mse'
+                           for v in cfg.values())):
+                raise ValueError(
+                    'halo training supports exactly the energy + '
+                    'gradient_force mse loss configuration (got '
+                    f'{cfg and sorted(cfg)})')
+            from newtonnet_tpu.parallel.halo import make_halo_grads_fn
+            ew = cfg['energy'].get('weight', 1.0)
+            fw = cfg['gradient_force'].get('weight', 1.0)
+            self._halo_grads = make_halo_grads_fn(
+                model, self.mesh, int(self.halo['n_halo']), ew, fw)
+            self._halo_eval = make_halo_grads_fn(
+                model, self.mesh, int(self.halo['n_halo']), ew, fw,
+                with_grads=False)
+            self.fast_grad = False  # halo owns its gradient algebra
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._train_scan = self._build_scan(self._train_step_body, train=True)
@@ -219,6 +249,14 @@ class Trainer:
         # sync round trip per step, which dominates on tunneled backends).
         # `lr` (traced scalar) is set into the opt state when a per-step
         # scheduler drives the run; None keeps the state's current lr.
+        if self.halo is not None:
+            grads, metrics = self._halo_grads(params, batch)
+            if lr is not None:
+                opt_state = with_learning_rate(opt_state, lr)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            totals = jax.tree.map(lambda t, m: t + m, totals, metrics)
+            return params, opt_state, totals
         nl = self._batch_nlist(batch)
         if self.fast_grad:
             from newtonnet_tpu.train import fastgrad
@@ -302,7 +340,7 @@ class Trainer:
 
     @property
     def _edges_enabled(self):
-        return hasattr(self.model, 'cutoff')
+        return hasattr(self.model, 'cutoff') and self.halo is None
 
     def _count_edges(self, batch):
         '''On-device edge counter for throughput logging (one cheap O(N^2)
@@ -315,7 +353,37 @@ class Trainer:
                              self.model.cutoff)
         return jax.numpy.sum(adj).astype(jax.numpy.float32)
 
+    def _check_halo_batch(self, batch):
+        '''One-time (first batch) halo-capacity validation: every atom
+        within the cutoff of a slab boundary must lie inside the adjacent
+        n_halo block, and the padded atom count must split evenly across
+        the graph shards (parallel/halo.py check_halo_capacity). Catches
+        unsorted frames, undersized halos, and bad padding before they
+        train on silently wrong forces.'''
+        import numpy as np
+        from newtonnet_tpu.parallel.halo import check_halo_capacity
+        n_shards = self.mesh.shape['graph']
+        z = np.asarray(batch['z'])
+        if z.shape[1] % n_shards:
+            raise ValueError(
+                f"halo training: padded atom count {z.shape[1]} is not "
+                f"divisible by the graph axis ({n_shards}); set data: "
+                f"n_pad to a multiple")
+        bad = check_halo_capacity(
+            z, np.asarray(batch['pos']), np.asarray(batch['cell']),
+            n_shards=n_shards, n_halo=int(self.halo['n_halo']),
+            cutoff=self.model.cutoff)
+        if bad:
+            raise ValueError(
+                f'halo training: {bad} capacity violations in the first '
+                f'batch -- frames must be spatially sorted (data: '
+                f'spatial_sort: true) and n_halo large enough for every '
+                f'boundary atom (got {self.halo["n_halo"]})')
+
     def _eval_step_body(self, params, totals, batch):
+        if self.halo is not None:
+            metrics = self._halo_eval(params, batch)
+            return jax.tree.map(lambda t, m: t + m, totals, metrics)
         preds = self.model.apply(params, batch['z'], batch['pos'],
                                  batch['cell'],
                                  nlist=self._batch_nlist(batch))
@@ -357,7 +425,9 @@ class Trainer:
                     (params, opt_state, totals), _ = jax.lax.scan(
                         step, (params, opt_state, totals), stacked)
                     return params, opt_state, totals
-            if self.mesh is None:
+            if self.mesh is None or self.halo is not None:
+                # halo mode: the shard_map inside _halo_grads carries its
+                # own in/out specs and reshards the (replicated) batch
                 return jax.jit(scan_fn, donate_argnums=(0, 1, 2))
 
             jitted = {}  # memoized so the jit cache persists across calls
@@ -377,7 +447,7 @@ class Trainer:
                 return self._eval_step_body(params, totals, batch), None
             totals, _ = jax.lax.scan(step, totals, stacked)
             return totals
-        if self.mesh is None:
+        if self.mesh is None or self.halo is not None:
             return jax.jit(scan_fn, donate_argnums=(1,))
 
         jitted = {}
@@ -402,7 +472,7 @@ class Trainer:
             n_extra = 0
 
         batch_sh, repl = self._shardings()
-        if self.mesh is not None:
+        if self.mesh is not None and self.halo is None:
             # DP: data sharded, state replicated; XLA inserts the grad psum.
             return jax.jit(
                 train_step, donate_argnums=(0, 1, 2),
@@ -418,7 +488,7 @@ class Trainer:
         eval_step = self._eval_step_body
 
         batch_sh, repl = self._shardings()
-        if self.mesh is not None:
+        if self.mesh is not None and self.halo is None:
             return jax.jit(
                 eval_step, donate_argnums=(1,),
                 in_shardings=(repl, repl, jax.tree.map(lambda _: batch_sh, {
@@ -690,6 +760,8 @@ class Trainer:
             n += 1
             if n == 1:
                 self._check_batch_nlist(batch)
+                if self.halo is not None:
+                    self._check_halo_batch(batch)
             if spc > 1:
                 # chunks must be shape-homogeneous (BucketedLoader emits
                 # different paddings): flush on shape change

@@ -278,3 +278,63 @@ def test_halo_guards():
                           in_specs=P(None, 'graph', None),
                           out_specs=P(None, 'graph', None),
                           check_vma=False))(jnp.zeros((1, 32, 3)))
+
+
+def test_trainer_halo_mode_matches_standard(rng):
+    '''Trainer(mesh=..., halo=...) runs the halo-sharded step through the
+    standard epoch loop: per-epoch metrics and the updated parameters
+    match a single-device Trainer with the same loss configuration.'''
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    B, N = 2, 48
+    box = [48.0, 6.0, 6.0]
+    n_halo = 9
+    batch = _gas(B, N, box, seed=3, periodic=True)
+    losses = {'energy': {'mode': 'mse', 'weight': 1.0},
+              'gradient_force': {'mode': 'mse', 'weight': 50.0}}
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force'])
+    params = _params_for(dense, batch, rng)
+
+    t_ref = Trainer(model=dense, params=jax.tree.map(jnp.array, params),
+                    loss_fns=get_loss_by_string(losses),
+                    optimizer=get_optimizer_by_string('adam', lr=1e-3),
+                    steps_per_call=1)
+    m_ref = t_ref.run_one_epoch([dict(batch)], step=True)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=4)
+    t_halo = Trainer(model=nl_model, params=jax.tree.map(jnp.array, params),
+                     loss_fns=get_loss_by_string(losses),
+                     optimizer=get_optimizer_by_string('adam', lr=1e-3),
+                     mesh=mesh, halo={'n_halo': n_halo}, steps_per_call=1)
+    m_halo = t_halo.run_one_epoch([dict(batch)], step=True)
+
+    for key in ('loss', 'energy_mae', 'energy_mse', 'energy_per_atom_mae',
+                'gradient_force_mae', 'gradient_force_mse'):
+        np.testing.assert_allclose(m_halo[key], m_ref[key], rtol=1e-5,
+                                   err_msg=key)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-7),
+                 t_halo.params, t_ref.params)
+
+    # eval epoch through the same halo path
+    e_halo = t_halo.run_one_epoch([dict(batch)], step=False)
+    e_ref = t_ref.run_one_epoch([dict(batch)], step=False)
+    np.testing.assert_allclose(e_halo['loss'], e_ref['loss'], rtol=1e-5)
+
+    # guardrails: bad halo config must fail loudly
+    import pytest
+    with pytest.raises(ValueError, match='graph'):
+        Trainer(model=nl_model, params=params,
+                loss_fns=get_loss_by_string(losses),
+                halo={'n_halo': n_halo})
+    with pytest.raises(ValueError, match='energy'):
+        Trainer(model=nl_model, params=params,
+                loss_fns=get_loss_by_string({'energy': {'mode': 'mae'}}),
+                mesh=mesh, halo={'n_halo': n_halo})
