@@ -17,6 +17,7 @@ for correctness tests; tools/exp_pallas_gather.py measures the raw kernel.
 '''
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,40 @@ def eligible(x, rows):
                 return False
         except Exception:
             return False
+        # Mosaic's dynamic-gather support is toolchain-dependent (the
+        # 2026-08 toolchain rejects cross-tile take_along_axis); probe
+        # ONE ahead-of-time compile per shape so an opted-in run falls
+        # back to the measured XLA gather instead of failing mid-trace.
+        b, n, f = x.shape
+        block = _block_rows(rows, f, jnp.dtype(x.dtype).itemsize)
+        if not _probe_compile(b, n, f, rows + (-rows) % block, block,
+                              x.dtype):
+            return False
     return True
+
+
+_PROBE_CACHE = {}
+
+
+def _probe_compile(b, n, f, e_padded, block, dtype):
+    key = (b, n, f, e_padded, block, jnp.dtype(dtype).name)
+    ok = _PROBE_CACHE.get(key)
+    if ok is None:
+        try:
+            _call.lower(
+                jax.ShapeDtypeStruct((b, n, f), dtype),
+                jax.ShapeDtypeStruct((b, e_padded), jnp.int32),
+                block=block).compile()
+            ok = True
+        except Exception as exc:  # Mosaic lowering/verification errors
+            warnings.warn(
+                'NEWTONNET_GATHER=pallas: kernel failed to compile for '
+                f'source ({b},{n},{f}) {jnp.dtype(dtype).name} '
+                f'(block={block}); using the XLA gather instead. '
+                f'[{type(exc).__name__}: {str(exc)[:200]}]')
+            ok = False
+        _PROBE_CACHE[key] = ok
+    return ok
 
 
 def _kernel(idx_ref, x_ref, out_ref):

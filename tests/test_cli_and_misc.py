@@ -186,3 +186,26 @@ def test_evaluate_cli(tmp_path, rng):
     preds = _np.load(tmp_path / 'p.npz')
     assert preds['energy'].shape == (500,)
     assert preds['forces'].shape == (500 * 21, 3)
+
+
+def test_distributed_helpers_single_process():
+    '''Degenerate (process_count==1) paths of parallel/distributed.py.
+
+    Real pods are unavailable here (SURVEY.md section 7); this pins the
+    single-process contract the multi-host scaling harness
+    (tools/bench_scaling.py) relies on.
+    '''
+    from newtonnet_tpu.parallel import distributed
+
+    # explicit single-process request is a no-op
+    assert distributed.initialize_distributed(num_processes=1) is False
+    # environment-driven init in a single-process env must not raise
+    assert distributed.initialize_distributed() is False
+
+    mesh = distributed.make_global_mesh(data=-1, graph=2)
+    assert mesh.axis_names == ('data', 'graph')
+    assert mesh.devices.shape == (4, 2)  # 8 virtual CPU devices
+
+    # one process owns the whole global batch
+    start, size = distributed.process_local_batch_slice(24)
+    assert (start, size) == (0, 24)
