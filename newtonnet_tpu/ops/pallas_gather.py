@@ -104,9 +104,9 @@ def _probe_compile(b, n, f, e_padded, block, dtype):
 
 
 def _kernel(idx_ref, x_ref, out_ref):
-    rows, f = out_ref.shape
+    _, rows, f = out_ref.shape
     idxm = jnp.broadcast_to(idx_ref[0][:, None], (rows, f))
-    out_ref[:] = jnp.take_along_axis(x_ref[0], idxm, axis=0)
+    out_ref[0] = jnp.take_along_axis(x_ref[0], idxm, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=('block',))

@@ -368,8 +368,11 @@ def test_pallas_gather_interpret_parity(monkeypatch):
     m_kn = jnp.swapaxes(jnp.asarray(m2), 1, 2)
     inv, invm = build_inverse_list(idx_kn, m_kn)
     Kc = idx_kn.shape[1]
-    x = jnp.asarray(rs.randn(B, N, F))
-    y = jnp.asarray(rs.randn(B, Kc, N, F)) * m_kn[..., None]
+    # float32: eligible() rejects f64, which would silently keep BOTH
+    # passes on the XLA path and test nothing (the gather itself is exact
+    # in any dtype, so array_equal still holds downstream)
+    x = jnp.asarray(rs.randn(B, N, F), jnp.float32)
+    y = jnp.asarray(rs.randn(B, Kc, N, F), jnp.float32) * m_kn[..., None]
 
     def everything():
         g = inv_gather(x, idx_kn, inv, invm)
@@ -386,6 +389,11 @@ def test_pallas_gather_interpret_parity(monkeypatch):
     from newtonnet_tpu.ops import pallas_gather
     assert pallas_gather.eligible(
         jax.ShapeDtypeStruct((B, N, F), jnp.float32), Kc * N)
+    calls = []
+    real_row_gather = pallas_gather.row_gather
+    monkeypatch.setattr(pallas_gather, 'row_gather',
+                        lambda *a: calls.append(1) or real_row_gather(*a))
     got = everything()
+    assert calls, 'pallas row_gather was never invoked -- test is vacuous'
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(a, b)
