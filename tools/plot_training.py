@@ -7,9 +7,15 @@ property MAEs, learning-rate schedule, and throughput (epoch seconds +
 edges/s when logged).
 
     python tools/plot_training.py <run_dir_or_log.csv> [out.png]
+    python tools/plot_training.py <run_dir> --watch [seconds]
+
+--watch re-renders whenever log.csv changes (live dashboard for a run in
+progress; point any auto-reloading image viewer at the PNG). Stops when
+the run's final summary rows appear or on Ctrl-C.
 '''
 import os
 import sys
+import time
 
 
 def main(path, out=None):
@@ -93,5 +99,30 @@ def main(path, out=None):
     print(f'wrote {out}')
 
 
+def watch(path, interval=10.0):
+    log = os.path.join(path, 'log.csv') if os.path.isdir(path) else path
+    last = None
+    while True:
+        try:
+            mtime = os.stat(log).st_mtime
+        except FileNotFoundError:
+            mtime = None  # run not started yet
+        if mtime is not None and mtime != last:
+            try:
+                main(log)
+            except Exception as exc:  # partial row mid-write
+                print(f'render skipped: {exc}')
+            last = mtime
+            with open(log) as f:
+                if any(line.startswith(('last,', 'best,')) for line in f):
+                    print('run finished')
+                    return
+        time.sleep(interval)
+
+
 if __name__ == '__main__':
-    main(*sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != '--watch']
+    if len(args) != len(sys.argv) - 1:
+        watch(args[0], float(args[1]) if len(args) > 1 else 10.0)
+    else:
+        main(*args)
