@@ -250,7 +250,10 @@ def host_symmetric_nlist(model, z, pos, cell, skin=1.0):
                 half = native.newton3_half_list_native(idx, kmask, k_out=k)
                 if half is None:
                     raise ValueError(
-                        f'newton3 half list needs more than k_max={k} slots')
+                        f'newton3 half list needs more than k_max={k} '
+                        f'slots at build radius cutoff+skin='
+                        f'{model.cutoff + skin:g} A; raise model k_max '
+                        f'or lower the skin')
                 idx2, kmask2 = half
             else:
                 from newtonnet_tpu.ops.nlist import newton3_half_list

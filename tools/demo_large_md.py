@@ -43,7 +43,9 @@ def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
     maxwell_boltzmann(system, 300.0, rng=np.random.default_rng(0))
 
     if not k_max:
-        k_max = {'newton3': 56, 'inverse': 112, 'plain': 128}[mode]
+        # capacity covers the BUILD radius cutoff+skin=6.0 A: max degree in
+        # this box is ~119 (Konig half-list bound 60), plus drift headroom
+        k_max = {'newton3': 72, 'inverse': 136, 'plain': 144}[mode]
     model = NewtonNet(graph_mode='neighborlist', k_max=k_max,
                       newton3=(mode == 'newton3'),
                       inverse_lists=(mode == 'inverse'),

@@ -66,24 +66,40 @@ def main(n=4096, f=512, k=40):
         _ = float(jnp.sum(x.astype(jnp.float32)))  # honest-timing poison
         f_xla = jax.jit(lambda x, i: jnp.take_along_axis(
             x, i[:, None], axis=0, mode='promise_in_bounds'))
+        # production kernel (ops/pallas_gather.row_gather, 3-D batched)
+        from newtonnet_tpu.ops import pallas_gather as pg
+        x3, idx3 = x[None], idx[None]
+        variants = []
         try:
             o_pal = pallas_gather(x, idx)
+            o_xla = f_xla(x, idx)
+            err = float(jnp.max(jnp.abs((o_pal - o_xla).astype(jnp.float32))))
+            assert err == 0.0, err
+            variants.append(('pallas2d', lambda: pallas_gather(x, idx)))
         except Exception as exc:
-            print(f'{np.dtype(dt).name}: pallas FAILED: '
+            print(f'{np.dtype(dt).name}: pallas2d FAILED: '
                   f'{type(exc).__name__}: {str(exc)[:200]}')
+        try:
+            o_prod = pg.row_gather(x3, idx3)
+            o_ref = jnp.take_along_axis(x3, idx3[..., None], axis=1)
+            err = float(jnp.max(jnp.abs((o_prod - o_ref)
+                                        .astype(jnp.float32))))
+            assert err == 0.0, err
+            variants.append(('pallas3d', lambda: pg.row_gather(x3, idx3)))
+        except Exception as exc:
+            print(f'{np.dtype(dt).name}: pallas3d FAILED: '
+                  f'{type(exc).__name__}: {str(exc)[:200]}')
+        if not variants:
             continue
-        o_xla = f_xla(x, idx)
-        err = float(jnp.max(jnp.abs((o_pal - o_xla).astype(jnp.float32))))
-        assert err == 0.0, err
-        for name, fn in (('pallas', lambda: pallas_gather(x, idx)),
-                         ('xla', lambda: f_xla(x, idx))):
+        iters = 1 if INTERPRET else 30  # interpret mode: correctness only
+        for name, fn in variants + [('xla', lambda: f_xla(x, idx))]:
             o = fn()
             jax.block_until_ready(o)
             t0 = time.perf_counter()
-            for _ in range(30):
+            for _ in range(iters):
                 o = fn()
             jax.block_until_ready(o)
-            t = (time.perf_counter() - t0) / 30
+            t = (time.perf_counter() - t0) / iters
             print(f'{np.dtype(dt).name:9s} {name:6s}: {t * 1e3:7.3f} ms '
                   f'({t / e * 1e9:5.2f} ns/row, '
                   f'{e * f * x.dtype.itemsize / t / 1e9:6.1f} GB/s)')
