@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from newtonnet_tpu.models.newtonnet import NewtonNetCore
 from newtonnet_tpu.ops.ewald import ewald_energy
+from newtonnet_tpu.ops.linalg3 import det3x3
 
 DIRECT_PROPERTIES = ('energy', 'charge', 'direct_force')
 DERIVATIVE_PROPERTIES = ('gradient_force', 'virial', 'stress')
@@ -239,7 +240,7 @@ class NewtonNet:
         if 'virial' in needs:
             outputs['virial'] = -disp_grad  # (ref output.py:164)
         if 'stress' in needs:
-            volume = jnp.abs(jnp.linalg.det(cell))[:, None, None]
+            volume = jnp.abs(det3x3(cell))[:, None, None]
             outputs['stress'] = disp_grad / volume  # (ref output.py:174-180)
         if 'hessian' in needs:
             outputs['hessian'] = self._hessian(params, z, pos, cell, nlist)

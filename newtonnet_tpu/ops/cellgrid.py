@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from newtonnet_tpu.ops.neighbors import minimum_image
+from newtonnet_tpu.ops.linalg3 import inv3x3
 
 
 def _axis_offsets(n):
@@ -111,7 +112,7 @@ def cell_grid_neighbor_list(pos, cell, atom_mask, cutoff, k_max, grid,
         is_periodic = jnp.any(cell != 0)
 
         # --- bin atoms -------------------------------------------------
-        frac = pos @ jnp.linalg.inv(cell)
+        frac = pos @ inv3x3(cell)
         frac = frac - jnp.floor(frac)  # wrap into [0, 1)
         gdim = jnp.asarray([nx, ny, nz], jnp.int32)
         ci = jnp.clip((frac * gdim).astype(jnp.int32), 0, gdim - 1)

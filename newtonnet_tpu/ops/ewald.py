@@ -38,6 +38,7 @@ textbook-Ewald oracle on orthorhombic and triclinic cells, rtol 1e-10):
 '''
 import jax
 import jax.numpy as jnp
+from newtonnet_tpu.ops.linalg3 import inv3x3
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -87,7 +88,7 @@ def ewald_energy_periodic(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
     # e^{ik.r} exactly, but unwrapped MD positions drift to many box
     # lengths and |k.r| ~ 1e3-1e4 rad costs fp32 sin/cos ~4 digits.
     # frac%1 is piecewise-identity in pos, so derivatives stay exact.
-    frac = jnp.einsum('bny,byx->bnx', pos, jnp.linalg.inv(safe_cell))
+    frac = jnp.einsum('bny,byx->bnx', pos, inv3x3(safe_cell))
     pos_w = jnp.einsum('bnx,bxy->bny', frac % 1.0, safe_cell)
     pos_w = jnp.where(is_periodic[:, None, None], pos_w, pos)
     phase = jnp.einsum('bmy,bny->bmn', kvec, pos_w)  # (B, M, N)

@@ -28,6 +28,7 @@ the exact form ('exact') and offer 'reference' for bit-parity with the
 reference on triclinic cells (identical for symmetric cells).
 '''
 import jax.numpy as jnp
+from newtonnet_tpu.ops.linalg3 import inv3x3
 
 
 def minimum_image(disp, cell, is_periodic, mic_mode='exact'):
@@ -45,7 +46,7 @@ def minimum_image(disp, cell, is_periodic, mic_mode='exact'):
     # Guard the solve against singular zero cells of aperiodic graphs.
     eye = jnp.eye(3, dtype=cell.dtype)
     safe_cell = jnp.where(is_periodic[:, None, None], cell, eye)
-    inv_cell_t = jnp.linalg.inv(jnp.swapaxes(safe_cell, -1, -2))  # (B, 3, 3)
+    inv_cell_t = inv3x3(jnp.swapaxes(safe_cell, -1, -2))  # (B, 3, 3)
     # fractional displacement: solve(cell^T, d)  (ref :92)
     frac = jnp.einsum('bxy,bijy->bijx', inv_cell_t, disp)
     shift = jnp.round(frac)

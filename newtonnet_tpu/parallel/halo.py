@@ -40,6 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
+from newtonnet_tpu.ops.linalg3 import det3x3
 
 try:
     from jax import shard_map
@@ -238,7 +239,7 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
         energy = jax.lax.psum(e_local, graph_axis)
         if not compute_stress:
             return energy, -pos_grad
-        volume = jnp.abs(jnp.linalg.det(cell))[:, None, None]
+        volume = jnp.abs(det3x3(cell))[:, None, None]
         stress = jax.lax.psum(disp_grad, graph_axis) / volume
         return energy, -pos_grad, stress
 
