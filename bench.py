@@ -219,6 +219,12 @@ def main():
         'unit': 'edges/s/chip',
         'vs_baseline': round(vs_baseline, 3) if vs_baseline else None,
         'mfu_pct': round(100 * mfu, 1),
+        # context: mfu is against the bf16 MXU peak, but the kernel sweep
+        # (PERF_NOTES.md) shows the step is VPU/elementwise-bound -- bf16
+        # vs fp32 dots land within noise -- so the bf16-peak headroom the
+        # percentage implies is NOT reachable by precision knobs; the next
+        # factor requires an edge-major data-structure change.
+        'mfu_note': 'vs bf16 peak; step is VPU-bound (see PERF_NOTES.md)',
         'step_ms': round(dt * 1e3, 2),
         # attribute the measurement: a cleanly-failed TPU plugin falls back
         # to the CPU backend, which must not masquerade as a chip number

@@ -48,6 +48,15 @@ def compute_statistics(samples):
         for zi in z_unique:
             scale[zi] = fnorm[z_all == zi].mean()  # ref :222-227
         stats['force'] = {'scale': scale}
+
+    # dataset periodicity over the stats sample: lets the pipeline pick a
+    # STATIC ewald_mode so the charge-head long-range energy stops paying
+    # the dead branch that 'auto' (per-graph runtime dispatch) computes
+    # (ops/ewald.py). 'mixed' keeps the runtime dispatch.
+    periodic = [bool(np.any(np.asarray(s.get('cell', 0)) != 0))
+                for s in samples]
+    stats['periodicity'] = ('periodic' if all(periodic) else
+                            'aperiodic' if not any(periodic) else 'mixed')
     return stats
 
 

@@ -38,7 +38,7 @@ textbook-Ewald oracle on orthorhombic and triclinic cells, rtol 1e-10):
 '''
 import jax
 import jax.numpy as jnp
-from newtonnet_tpu.ops.linalg3 import inv3x3
+from newtonnet_tpu.ops.linalg3 import det3x3, inv3x3
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -75,9 +75,12 @@ def ewald_energy_periodic(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
     is_periodic = jnp.any(cell != 0, axis=(-1, -2))
     eye = jnp.eye(3, dtype=cell.dtype)
     safe_cell = jnp.where(is_periodic[:, None, None], cell, eye)
-    volume = jnp.abs(jnp.linalg.det(safe_cell))  # (B,)
+    # closed-form det/inv (ops/linalg3): jnp.linalg.det/inv lower to LAPACK
+    # custom calls on CPU, which segfault when replayed from a jax.export
+    # artifact in a fresh process (charge-head serving).
+    volume = jnp.abs(det3x3(safe_cell))  # (B,)
     # reciprocal rows: b = 2 pi inv(cell)^T  (rows of cell are lattice vectors)
-    recip = TWO_PI * jnp.swapaxes(jnp.linalg.inv(safe_cell), -1, -2)  # (B,3,3)
+    recip = TWO_PI * jnp.swapaxes(inv3x3(safe_cell), -1, -2)  # (B,3,3)
 
     offsets, k_mask = _k_lattice(n_k)  # (M, 3), (M,)
     kvec = jnp.einsum('mx,bxy->bmy', offsets.astype(pos.dtype), recip)

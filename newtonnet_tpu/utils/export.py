@@ -153,12 +153,22 @@ class ServedModel:
         self.n_pad = int(self.header['n_pad'])
         self.batch_size = int(self.header['batch_size'])
         self.dtype = np.dtype(self.header['dtype'])
+        if self.dtype == np.float64:
+            # the artifact's input signature is f64; without x64 a fresh
+            # process canonicalizes inputs to f32 and Exported.call raises
+            # a dtype mismatch. Enabling here keeps --dtype float64
+            # artifacts servable end to end.
+            import jax
+            jax.config.update('jax_enable_x64', True)
 
     def call_raw(self, z, pos, cell):
         '''Run at the exported padded shapes; returns the padded outputs.'''
         import jax
         backend = jax.default_backend()
-        if backend not in self.header['platforms']:
+        # jax.export platform names differ from backend names on GPU:
+        # backend 'gpu' corresponds to lowering platforms 'cuda'/'rocm'.
+        aliases = {'gpu': {'gpu', 'cuda', 'rocm'}}.get(backend, {backend})
+        if not aliases & set(self.header['platforms']):
             raise ValueError(
                 f'artifact was lowered for {self.header["platforms"]}, '
                 f'current backend is {backend}; re-export with '
@@ -180,6 +190,14 @@ class ServedModel:
             raise ValueError(
                 f'{len(num_list)} systems > exported batch_size '
                 f'{self.batch_size}')
+        if len(pos_list) != len(num_list):
+            raise ValueError(
+                f'{len(num_list)} number lists but {len(pos_list)} '
+                f'position arrays')
+        if len(cell_list) != len(num_list):
+            raise ValueError(
+                f'{len(num_list)} systems but {len(cell_list)} cells; pass '
+                f'one 3x3 cell (shared) or exactly one per system')
         counts = [len(n) for n in num_list]
         if max(counts) > self.n_pad:
             raise ValueError(

@@ -121,6 +121,17 @@ def main():
             freeze_decoder=pretrained_model.get('freeze_decoder', False),
             freeze_scaler=pretrained_model.get('freeze_scaler', False))
     else:
+        # auto-select a STATIC ewald_mode from dataset periodicity: the
+        # 'auto' default is per-graph runtime dispatch that computes BOTH
+        # Ewald branches every energy evaluation (ops/ewald.py). When the
+        # stats sample is homogeneous, pin the matching branch; genuinely
+        # mixed datasets keep 'auto'.
+        if ('charge' in settings['model'].get('output_properties', ())
+                and settings['model'].get('ewald_mode', 'auto') == 'auto'
+                and stats.get('periodicity') in ('periodic', 'aperiodic')):
+            settings['model']['ewald_mode'] = stats['periodicity']
+            print(f"ewald_mode: auto -> {stats['periodicity']} "
+                  f"(from dataset periodicity)")
         model = NewtonNet(param_dtype=precision, **settings['model'])
         params = model.init(rng, example['z'], example['pos'],
                             example['cell'])

@@ -143,6 +143,29 @@ def test_statistics_lstsq():
                                    rtol=1e-9)
     assert stats['energy']['scale'][1] < 1e-6  # perfect fit -> ~zero residual
     assert 'force' in stats
+    # no cells in the samples -> aperiodic (molecular) dataset
+    assert stats['periodicity'] == 'aperiodic'
+
+
+def test_statistics_periodicity():
+    '''Dataset periodicity detection feeds the CLI's static ewald_mode
+    selection (scripts/newtonnet_train.py): all-periodic / all-aperiodic /
+    mixed stats samples classify as such.'''
+    rs = np.random.RandomState(7)
+
+    def sample(cell):
+        z = rs.choice([1, 8], size=4).astype(np.int32)
+        return {'z': z, 'energy': 1.0, 'force': rs.randn(4, 3),
+                'cell': cell}
+
+    box = np.eye(3) * 10.0
+    none = np.zeros((3, 3))
+    assert compute_statistics(
+        [sample(box) for _ in range(5)])['periodicity'] == 'periodic'
+    assert compute_statistics(
+        [sample(none) for _ in range(5)])['periodicity'] == 'aperiodic'
+    assert compute_statistics(
+        [sample(box), sample(none)])['periodicity'] == 'mixed'
 
 
 def test_bucketed_loader(tmp_path):

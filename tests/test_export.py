@@ -133,18 +133,32 @@ def test_export_cli_round_trip(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_cold_process_serve(tmp_path):
+@pytest.mark.parametrize('variant', ['plain', 'charge', 'float64'])
+def test_cold_process_serve(tmp_path, variant):
     '''An artifact must replay in a FRESH process that never traced the
-    model. Regression: the model once lowered cells through
+    model. Regression ('plain'): the model once lowered cells through
     jnp.linalg.inv/det, which on CPU become LAPACK custom calls with
     process-local function pointers -- the exported module deserialized
     fine but segfaulted on call in any cold serving process (fixed by the
-    closed-form ops/linalg3.py). A crash here exits the subprocess with a
-    signal, which this test surfaces as returncode != 0.'''
-    model, params = _tiny_model()
-    header, blob = export_inference(model, params, n_atoms=9)
+    closed-form ops/linalg3.py). 'charge' repeats it through the latent
+    Ewald path (ops/ewald.py had its own jnp.linalg.det/inv pair with the
+    same segfault). 'float64' covers the x64-canonicalization mismatch:
+    ServedModel must enable jax x64 before calling an f64 artifact. A
+    crash exits the subprocess with a signal -> returncode != 0.'''
+    if variant == 'charge':
+        model, params = _tiny_model(
+            props=('charge', 'energy', 'gradient_force'))
+        dtype = 'float32'
+    else:
+        model, params = _tiny_model()
+        dtype = 'float64' if variant == 'float64' else 'float32'
+    header, blob = export_inference(model, params, n_atoms=9, dtype=dtype)
     art = tmp_path / 'cold.npz'
     save_serving_artifact(art, header, blob)
+    # the charge variant serves a PERIODIC system so the reciprocal-space
+    # Ewald branch (cell det/inv) actually executes in the cold process
+    cell_line = ("cell = np.eye(3) * 8.0\n" if variant == 'charge'
+                 else "cell = None\n")
     code = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
@@ -153,7 +167,9 @@ def test_cold_process_serve(tmp_path):
         "from newtonnet_tpu.utils.export import ServedModel\n"
         f"sm = ServedModel({str(art)!r})\n"
         "rs = np.random.RandomState(0)\n"
-        "out = sm(rs.choice([1, 6, 8], size=9), rs.randn(9, 3) * 1.5)\n"
+        + cell_line +
+        "out = sm(rs.choice([1, 6, 8], size=9), rs.randn(9, 3) * 1.5 + 4.0,"
+        " cell)\n"
         "assert np.isfinite(out['gradient_force']).all()\n"
         "print('COLD_OK', out['energy'])\n")
     r = subprocess.run([sys.executable, '-c', code], capture_output=True,
