@@ -4,8 +4,11 @@ from newtonnet_tpu.parallel.graph_parallel import (
     pad_atoms_to_multiple,
 )
 from newtonnet_tpu.parallel.distributed import (
+    global_data_batch,
     initialize_distributed,
+    is_multiprocess,
     make_global_mesh,
+    maybe_initialize_from_env,
     process_local_batch_slice,
 )
 from newtonnet_tpu.parallel.halo import (

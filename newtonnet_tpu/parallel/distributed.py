@@ -11,9 +11,18 @@ gradient psum crosses DCN only once per step at the slice boundary, and
 keep 'graph' (per-layer all-gathers) inside a slice so halo traffic rides
 ICI.
 
-This module is exercised on real pods only; in single-process environments
-initialize_distributed() is a no-op.
+Launching: one process per host, each exporting
+    NEWTONNET_DIST_COORD=<host0>:<port>
+    NEWTONNET_DIST_NPROCS=<N>  NEWTONNET_DIST_PROCID=<i>
+(or nothing at all on TPU pod runtimes, which autoconfigure) -- the train
+CLI calls maybe_initialize_from_env() before any backend use.
+tools/launch_distributed.py spawns such a set locally (CPU devices), which
+is also how tests/test_distributed_mp.py exercises the real multi-process
+code path: cross-process gradient psum over Gloo, per-process data
+slicing, chief-only checkpointing.
 '''
+import os
+
 import jax
 
 from newtonnet_tpu.parallel.mesh import make_mesh
@@ -38,6 +47,68 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     except (RuntimeError, ValueError):
         # already initialized, or single-process environment
         return False
+
+
+def maybe_initialize_from_env():
+    '''Initialize jax.distributed from NEWTONNET_DIST_* env vars.
+
+    Launcher-agnostic: tools/launch_distributed.py, mpirun wrappers, or a
+    per-host shell loop all just export the three variables. No-op (returns
+    False) when they are absent or NPROCS <= 1. Must run before the first
+    backend touch (jax.devices / any jit).
+    '''
+    coord = os.environ.get('NEWTONNET_DIST_COORD')
+    nprocs = os.environ.get('NEWTONNET_DIST_NPROCS')
+    procid = os.environ.get('NEWTONNET_DIST_PROCID')
+    if not (coord and nprocs and procid):
+        return False
+    return initialize_distributed(coord, int(nprocs), int(procid))
+
+
+def is_multiprocess():
+    '''True when this run spans >1 processes (after initialization).'''
+    return jax.process_count() > 1
+
+
+def global_data_batch(mesh, batch, stacked=False):
+    '''Assemble this process's slice of a host batch into global arrays.
+
+    Multi-process jit cannot consume plain per-host numpy batches: each
+    process owns only its addressable shard of the 'data' axis. This slices
+    the host batch to the process's rows (every process iterates the SAME
+    seeded loader, so slicing here is equivalent to per-process loading)
+    and builds global jax.Arrays via make_array_from_process_local_data.
+
+    Args:
+        mesh: the global ('data', 'graph') mesh.
+        batch: dict of host arrays, batch dim on axis 0 (or axis 1 when
+            `stacked`: a steps_per_call scan stack, scan axis 0 unsharded).
+        stacked: see above.
+
+    Returns:
+        dict of global jax.Arrays sharded P('data') / P(None, 'data').
+    '''
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = 1 if stacked else 0
+    spec = P(None, 'data') if stacked else P('data')
+    sh = NamedSharding(mesh, spec)
+    nproc, rank = jax.process_count(), jax.process_index()
+
+    def conv(x):
+        x = np.asarray(x)
+        b = x.shape[axis]
+        if b % nproc:
+            raise ValueError(
+                f'batch dim {b} not divisible by {nproc} processes')
+        size = b // nproc
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(rank * size, (rank + 1) * size)
+        return jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(x[tuple(sl)]), x.shape)
+
+    return {k: conv(v) for k, v in batch.items()}
 
 
 def make_global_mesh(data=-1, graph=1):

@@ -180,8 +180,18 @@ class Trainer:
         # observability (SURVEY.md section 5): when set, the second training
         # epoch (post-compile) is captured with jax.profiler into this dir
         self.profile_dir = profile_dir
+        # multi-process (multi-host) runs: every process executes the same
+        # SPMD program over the global mesh; batches are assembled from
+        # per-process slices (parallel/distributed.global_data_batch),
+        # files (run dir, checkpoints, log.csv) are written by the chief
+        # only, and the end-of-training re-eval uses in-memory params so
+        # every process can participate in its collectives without a
+        # shared filesystem.
+        self._is_chief = jax.process_index() == 0
+        self._multiproc = mesh is not None and jax.process_count() > 1
+        self._best_params = None
 
-        if output_base_path is not None:
+        if output_base_path is not None and self._is_chief:
             self.make_subdirs(output_base_path, script_path, settings_path)
         else:
             self.output_path = None
@@ -204,6 +214,20 @@ class Trainer:
         # inside shard_map with their own psum algebra, so the loss config
         # is restricted to energy + gradient_force mse.
         self.halo = dict(halo) if halo else None
+        if self.halo and self._multiproc:
+            raise ValueError(
+                'halo training is single-process per slice this release; '
+                'multi-process runs use the data axis across processes '
+                '(graph-axis halo within a process/slice)')
+        if self._multiproc:
+            # params/opt state must enter the multi-process jit as GLOBAL
+            # replicated arrays (a process-local committed array cannot be
+            # resharded across processes); every process initialized from
+            # the same seed, so the host values agree
+            _, repl = self._shardings()
+            self.params = jax.device_put(jax.device_get(self.params), repl)
+            self.opt_state = jax.device_put(jax.device_get(self.opt_state),
+                                            repl)
         if self.halo:
             if (self.mesh is None or 'graph' not in self.mesh.axis_names
                     or self.mesh.shape['graph'] < 2):
@@ -474,14 +498,22 @@ class Trainer:
         batch_sh, repl = self._shardings()
         if self.mesh is not None and self.halo is None:
             # DP: data sharded, state replicated; XLA inserts the grad psum.
-            return jax.jit(
-                train_step, donate_argnums=(0, 1, 2),
-                in_shardings=(repl, repl, repl,
-                              jax.tree.map(lambda _: batch_sh, {
-                                  'z': 0, 'pos': 0, 'cell': 0, 'energy': 0,
-                                  'force': 0, 'graph_mask': 0}))
-                + (repl,) * n_extra,
-                out_shardings=(repl, repl, repl))
+            # in_shardings are derived from the first REAL batch (not a
+            # fixed key template) so extra batch keys -- precomputed
+            # neighbor lists, bucketed metadata -- shard along too.
+            jitted = {}
+
+            def sharded(params, opt_state, totals, batch, *rest):
+                if 'fn' not in jitted:
+                    in_sh = (repl, repl, repl,
+                             jax.tree.map(lambda _: batch_sh, batch)) + \
+                        tuple(repl for _ in rest)
+                    jitted['fn'] = jax.jit(
+                        train_step, donate_argnums=(0, 1, 2),
+                        in_shardings=in_sh,
+                        out_shardings=(repl, repl, repl))
+                return jitted['fn'](params, opt_state, totals, batch, *rest)
+            return sharded
         return jax.jit(train_step, donate_argnums=(0, 1, 2))
 
     def _build_eval_step(self):
@@ -489,12 +521,18 @@ class Trainer:
 
         batch_sh, repl = self._shardings()
         if self.mesh is not None and self.halo is None:
-            return jax.jit(
-                eval_step, donate_argnums=(1,),
-                in_shardings=(repl, repl, jax.tree.map(lambda _: batch_sh, {
-                    'z': 0, 'pos': 0, 'cell': 0, 'energy': 0, 'force': 0,
-                    'graph_mask': 0})),
-                out_shardings=repl)
+            jitted = {}
+
+            def sharded(params, totals, batch):
+                if 'fn' not in jitted:
+                    jitted['fn'] = jax.jit(
+                        eval_step, donate_argnums=(1,),
+                        in_shardings=(repl, repl,
+                                      jax.tree.map(lambda _: batch_sh,
+                                                   batch)),
+                        out_shardings=repl)
+                return jitted['fn'](params, totals, batch)
+            return sharded
         return jax.jit(eval_step, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ #
@@ -521,16 +559,25 @@ class Trainer:
         os.makedirs(self.model_path)
 
     def resume(self, checkpoint_dir):
-        '''Restore from a previous training_{n} dir (ref trainer.py:128-149).'''
-        for name in ('models/train_state.msgpack', 'models/best_model.msgpack',
-                     'log.csv'):
-            src = os.path.join(checkpoint_dir, name)
-            if os.path.exists(src):
-                dst = os.path.join(self.output_path, name)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                shutil.copyfile(src, dst)
+        '''Restore from a previous training_{n} dir (ref trainer.py:128-149).
+
+        Multi-process: the checkpoint dir must be readable by every process
+        (shared filesystem, the standard pod setup); the chief copies the
+        artifacts into the new run dir, the others load in place.
+        '''
+        if self.output_path is not None:
+            for name in ('models/train_state.msgpack',
+                         'models/best_model.msgpack', 'log.csv'):
+                src = os.path.join(checkpoint_dir, name)
+                if os.path.exists(src):
+                    dst = os.path.join(self.output_path, name)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    shutil.copyfile(src, dst)
+            state_dir = self.output_path
+        else:
+            state_dir = checkpoint_dir
         meta, params, opt_state = ckpt.load_train_state(
-            os.path.join(self.output_path, 'models', 'train_state.msgpack'),
+            os.path.join(state_dir, 'models', 'train_state.msgpack'),
             params_template=self.params,
             opt_state_template=self.opt_state)
         self.start_epoch = meta['epoch'] + 1
@@ -545,11 +592,18 @@ class Trainer:
         if meta.get('loader_rng_state') and self.train_generator is not None:
             self.train_generator._rng.bit_generator.state = \
                 meta['loader_rng_state']
-        log_path = os.path.join(self.output_path, 'log.csv')
-        if os.path.exists(log_path):
-            import csv
-            with open(log_path) as f:
-                self.log_rows = list(csv.DictReader(f))
+        if self._multiproc:
+            # re-enter the global mesh as replicated arrays (see __init__)
+            _, repl = self._shardings()
+            self.params = jax.device_put(jax.device_get(self.params), repl)
+            self.opt_state = jax.device_put(jax.device_get(self.opt_state),
+                                            repl)
+        if self.output_path is not None:
+            log_path = os.path.join(self.output_path, 'log.csv')
+            if os.path.exists(log_path):
+                import csv
+                with open(log_path) as f:
+                    self.log_rows = list(csv.DictReader(f))
 
     def print_layers(self):
         n = sum(x.size for x in jax.tree.leaves(self.params))
@@ -629,21 +683,31 @@ class Trainer:
                 test_log = self.run_one_epoch(self.test_generator, step=False)
                 log_one_epoch |= {f'test_{k}': v for k, v in test_log.items()}
 
-            if epoch % self.check_log == 0 and self.model_path is not None:
+            if epoch % self.check_log == 0 and (self.model_path is not None
+                                                or self._multiproc):
                 val_loss = log_one_epoch.get('val_loss', float('inf'))
                 if val_loss < self.best_val_loss:
                     self.best_val_loss = val_loss
-                    ckpt.save_model(
-                        os.path.join(self.model_path, 'best_model.msgpack'),
-                        self.model, self.params)
+                    if self._multiproc:
+                        # every process stashes the best params in memory
+                        # (a COPY: the live ones are donated next step) so
+                        # the final re-eval runs without a shared FS
+                        self._best_params = jax.tree.map(jax.numpy.copy,
+                                                         self.params)
+                    if self.model_path is not None:
+                        ckpt.save_model(
+                            os.path.join(self.model_path,
+                                         'best_model.msgpack'),
+                            self.model, self.params)
                     log_one_epoch['best_model'] = True
-                ckpt.save_model(
-                    os.path.join(self.model_path, 'last_model.msgpack'),
-                    self.model, self.params)
+                if self.model_path is not None:
+                    ckpt.save_model(
+                        os.path.join(self.model_path, 'last_model.msgpack'),
+                        self.model, self.params)
 
             if self.output_path is not None:
                 self.local_log(log_one_epoch)
-            if self.log_wandb:
+            if self.log_wandb and self._is_chief:
                 import wandb
                 wandb.log(log_one_epoch)
 
@@ -667,6 +731,39 @@ class Trainer:
                 break
 
         print('Training finished')
+        if self._multiproc:
+            # final re-eval from in-memory params: the eval epochs are
+            # collectives over the global mesh, so EVERY process must run
+            # them (a chief-only disk path would deadlock the others);
+            # only the chief has a model_path/log to write
+            if self.model_path is not None:
+                ckpt.save_model(
+                    os.path.join(self.model_path, 'last_model.msgpack'),
+                    self.model, self.params)
+            finals = [('last', self.params)]
+            if self._best_params is not None:
+                finals.append(('best', self._best_params))
+                if self.model_path is not None:
+                    ckpt.save_model(
+                        os.path.join(self.model_path, 'best_model.msgpack'),
+                        self.model, self._best_params)
+            for tag, params in finals:
+                log_one_epoch = {'epoch': tag}
+                saved, self.params = self.params, params
+                for name, gen in (('train', self.train_generator),
+                                  ('val', self.val_generator),
+                                  ('test', self.test_generator)):
+                    if gen is not None:
+                        log = self.run_one_epoch(gen, step=False)
+                        log_one_epoch |= {f'{name}_{k}': v
+                                          for k, v in log.items()}
+                self.params = saved
+                if self.output_path is not None:
+                    self.local_log(log_one_epoch)
+                if self.log_wandb and self._is_chief:
+                    import wandb
+                    wandb.log(log_one_epoch)
+            return
         if self.model_path is None:
             return
 
@@ -704,6 +801,10 @@ class Trainer:
             metric_names = metric_names + ['edges']
         totals = {k: jax.numpy.zeros((), jax.numpy.float32)
                   for k in metric_names}
+        if self._multiproc:
+            # enter the multi-process jit as global replicated arrays
+            totals = jax.device_put(jax.device_get(totals),
+                                    self._shardings()[1])
         n = 0
         spc = self.steps_per_call
         pending = []
@@ -718,6 +819,10 @@ class Trainer:
 
         def run_single(batch):
             nonlocal totals
+            if self._multiproc:
+                from newtonnet_tpu.parallel.distributed import \
+                    global_data_batch
+                batch = global_data_batch(self.mesh, batch)
             if step:
                 if per_step_lr:
                     self.params, self.opt_state, totals = self._train_step(
@@ -737,6 +842,11 @@ class Trainer:
             if len(pending) == spc:
                 stacked = {k: np.stack([b[k] for b in pending])
                            for k in pending[0]}
+                if self._multiproc:
+                    from newtonnet_tpu.parallel.distributed import \
+                        global_data_batch
+                    stacked = global_data_batch(self.mesh, stacked,
+                                                stacked=True)
                 if step:
                     if per_step_lr:
                         lrs = np.asarray([next_lr() for _ in pending],

@@ -74,6 +74,13 @@ def main():
     device = settings['general'].get('device', None)
     if device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    # multi-process (multi-host) runs: NEWTONNET_DIST_{COORD,NPROCS,PROCID}
+    # env vars (one process per host; tools/launch_distributed.py spawns a
+    # local set). Must run before the first backend touch.
+    from newtonnet_tpu.parallel.distributed import maybe_initialize_from_env
+    if maybe_initialize_from_env():
+        print(f'distributed: process {jax.process_index()}/'
+              f'{jax.process_count()}, {len(jax.devices())} global devices')
     if settings['general'].get('debug_nans', False):
         # opt-in NaN checking (SURVEY.md section 5: sanitizer equivalent)
         jax.config.update('jax_debug_nans', True)

@@ -204,6 +204,7 @@ def test_collate_rejects_oversized_sample():
         collate([s], n_pad=8, batch_pad=1)
 
 
+@pytest.mark.slow
 def test_precomputed_neighbor_lists_training_parity():
     '''NeighborListDataset + Trainer: a train step fed precomputed lists
     (plain and newton3 modes) matches the in-jit-graph step exactly.'''

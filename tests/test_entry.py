@@ -1,5 +1,6 @@
 '''Driver entry points must stay importable and runnable.'''
 import jax
+import pytest
 
 
 def test_entry_compiles():
@@ -10,6 +11,7 @@ def test_entry_compiles():
     assert forces.shape == (8, 24, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
     n = min(8, len(jax.devices()))

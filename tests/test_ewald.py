@@ -81,6 +81,7 @@ def test_dispatch_periodic_vs_aperiodic():
     np.testing.assert_allclose(float(e[1]), float(e_per[1]))
 
 
+@pytest.mark.slow
 def test_bec_acoustic_sum_rule(rng):
     '''For a charge head with global neutrality enforced upstream the BEC
     rows sum to the total-charge derivative; here we check the generic
@@ -302,6 +303,7 @@ def test_bec_under_pbc_finite_difference(rng):
         np.testing.assert_allclose(bec[i, :, b], fd, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_bec_with_precomputed_newton3_lists(rng):
     '''BEC through the newton3 half-list path == the dense-graph BEC
     (the bec head threads the precomputed lists like the Hessian head).'''

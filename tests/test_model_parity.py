@@ -117,6 +117,7 @@ def test_direct_heads_parity(rng):
                                rtol=1e-9, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_hessian_matches_fd(rng):
     sizes = [4]
     z, pos, cell, *_ = make_batch(rng, sizes, n_pad=4)
@@ -139,6 +140,7 @@ def test_hessian_matches_fd(rng):
     np.testing.assert_allclose(h[i, d], fd, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainable_basis(rng):
     '''trainable_basis=True initializes the Bessel frequencies at the
     reference's fixed k*pi grid (identical outputs at init) and lets
@@ -168,6 +170,7 @@ def test_trainable_basis(rng):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_hessian_block_matches_full(rng):
     '''hessian_block (lax.map-blocked HVP lanes) == the all-at-once
     jacfwd Hessian, including a block size that does not divide 3N.'''

@@ -78,6 +78,7 @@ def test_model_dense_vs_neighborlist(rng, periodic, reverse_lists):
                                out_n['gradient_force'], atol=1e-10)
 
 
+@pytest.mark.slow
 def test_neighbor_list_triclinic():
     '''Triclinic periodic cells through the neighbor-list path (exact MIC).'''
     rs = np.random.RandomState(9)
@@ -148,6 +149,7 @@ def test_symmetrize_slots_involution():
             assert s_old == s_new
 
 
+@pytest.mark.slow
 def test_inverse_lists_match_plain(rng):
     '''inverse_lists (scatter-free backward via symmetric-slotted lists)
     == the plain path: values, forces, stress, and grad-of-force-loss.'''
@@ -222,6 +224,7 @@ def test_newton3_half_list_structure():
     assert K2 == delta
 
 
+@pytest.mark.slow
 def test_newton3_matches_plain(rng):
     '''newton3 half-list path (each undirected edge computed once,
     aggregated onto both endpoints) == the plain full-list path: values,

@@ -5,6 +5,7 @@ Compiled-mode timing on real TPU hardware: tools/bench_step_variants.py.'''
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from newtonnet_tpu.models import NewtonNet
 from newtonnet_tpu.ops.pallas_dense import (
@@ -142,6 +143,7 @@ def _models(B=4, N=6, seed=0, outputs=('energy', 'gradient_force')):
     return xla, pal, params, z, pos, cell
 
 
+@pytest.mark.slow
 def test_pallas_model_matches_xla_forward_and_forces():
     xla, pal, params, z, pos, cell = _models()
     o_x = xla.apply(params, z, pos, cell)

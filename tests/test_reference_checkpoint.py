@@ -21,6 +21,7 @@ DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(
 
 @pytest.mark.skipif(not os.path.exists(REF_CKPT),
                     reason='reference checkpoint not available')
+@pytest.mark.slow
 def test_shipped_checkpoint_reproduces_logged_mae():
     from newtonnet_tpu.data import MolecularInMemoryDataset, PaddedLoader
     from newtonnet_tpu.utils.torch_import import load_reference_model

@@ -9,6 +9,7 @@ import csv
 import os
 
 import jax
+import pytest  # noqa: F401 (slow marker)
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,6 +49,7 @@ def _setup(out_dir, epochs, seed=0):
     return trainer
 
 
+@pytest.mark.slow
 def test_resume_reproduces_uninterrupted_run(tmp_path):
     # straight 4-epoch run
     t_full = _setup(os.path.join(tmp_path, 'full'), epochs=4)

@@ -104,6 +104,7 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(out1['energy'], out2['energy'], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_dp_sharded_train_step_matches_single_device(rng):
     '''One DP step over the 8-device CPU mesh == the same step on 1 device.'''
     if len(jax.devices()) < 8:

@@ -34,6 +34,13 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--devices', type=int, default=0,
                    help='virtual CPU device count (0 = use real devices)')
+    p.add_argument('--processes', type=int, default=0,
+                   help='spawn N separate OS processes (real jax.distributed '
+                        'over Gloo on CPU; on a TPU pod run this script once '
+                        'per host with NEWTONNET_DIST_* env instead) and '
+                        'measure the dp step over the global mesh')
+    p.add_argument('--devices-per-proc', type=int, default=2,
+                   help='virtual CPU devices per process in --processes mode')
     p.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'])
     p.add_argument('--mode', default='both', choices=['dp', 'halo', 'both'])
     p.add_argument('--steps', type=int, default=10)
@@ -46,8 +53,73 @@ def parse_args():
     return p.parse_args()
 
 
+def orchestrate_processes(args):
+    '''Parent mode for --processes N: measure a 1-process/1-device baseline,
+    spawn the N-process set via tools/launch_distributed.py, merge the
+    chief's measurement, and report multi-process efficiency.'''
+    import subprocess
+    import tempfile
+    here = os.path.dirname(os.path.abspath(__file__))
+    common = ['--mode', 'dp', '--platform', 'cpu',
+              '--steps', str(args.steps), '--warmup', str(args.warmup),
+              '--batch-per-device', str(args.batch_per_device),
+              '--n-features', str(args.n_features),
+              '--n-interactions', str(args.n_interactions)]
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+
+    # single-process single-device baseline (same per-device problem size)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                        '--devices', '1', *common],
+                       capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    base = [json.loads(line) for line in r.stdout.splitlines()
+            if line.startswith('{')][0]
+
+    with tempfile.TemporaryDirectory() as log_dir:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, 'launch_distributed.py'),
+             '--nprocs', str(args.processes),
+             '--devices-per-proc', str(args.devices_per_proc),
+             '--log-dir', log_dir, '--timeout', '900', '--',
+             sys.executable, os.path.abspath(__file__), *common],
+            capture_output=True, text=True, timeout=960, env=env)
+        with open(os.path.join(log_dir, 'proc_0.log')) as f:
+            chief = f.read()
+        assert r.returncode == 0, (r.stderr[-2000:], chief[-3000:])
+    rows = [json.loads(line) for line in chief.splitlines()
+            if line.startswith('{')]
+    row = rows[-1]
+    d = row['devices']
+    row |= {'mode': 'dp-multiprocess', 'processes': args.processes,
+            'efficiency_pct': round(
+                100 * row['edges_per_s'] / (base['edges_per_s'] * d), 1)}
+    print(json.dumps(row))
+    if args.out:
+        with open(args.out, 'a') as f:
+            f.write(f"\n## Multi-process ({args.processes} OS processes x "
+                    f"{args.devices_per_proc} devices, jax.distributed/"
+                    f"Gloo)\n\n"
+                    f"| mode | procs | devices | batch | step ms | edges/s |"
+                    f" efficiency vs 1-proc/1-dev |\n|---|---|---|---|---|"
+                    f"---|---|\n"
+                    f"| dp-multiprocess | {args.processes} | {d} | "
+                    f"{row['batch']} | {row['step_ms']} | "
+                    f"{row['edges_per_s']:.3g} | {row['efficiency_pct']}% "
+                    f"|\n\nSame virtual-CPU caveat as above; what this row "
+                    f"proves is the real multi-process code path: separate "
+                    f"runtimes, cross-process gradient psum, per-process "
+                    f"batch slices. On a pod, run one process per host "
+                    f"with NEWTONNET_DIST_* env (no --processes flag "
+                    f"needed).\n")
+        print(f'appended multi-process row to {args.out}', file=sys.stderr)
+
+
 def main():
     args = parse_args()
+    if args.processes > 1 and 'NEWTONNET_DIST_NPROCS' not in os.environ:
+        orchestrate_processes(args)
+        return
     if args.devices:
         os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                                    + f' --xla_force_host_platform_device_count={args.devices}')
@@ -60,20 +132,32 @@ def main():
 
     from newtonnet_tpu.models import NewtonNet
     from newtonnet_tpu.parallel import (
+        global_data_batch,
         initialize_distributed,
         make_global_mesh,
         make_halo_train_step,
-        process_local_batch_slice,
+        maybe_initialize_from_env,
         shard_halo_batch,
         spatial_sort,
     )
     from newtonnet_tpu.train import get_loss_by_string
 
-    initialize_distributed()  # no-op single-process; required on pods
+    # NEWTONNET_DIST_* env (launch_distributed.py / per-host pod launch),
+    # falling back to pod auto-configuration; no-op single-process
+    maybe_initialize_from_env() or initialize_distributed()
+    multiproc = jax.process_count() > 1
     devices = jax.devices()
     n_dev = len(devices)
     counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
-    print(f'# devices: {n_dev} ({devices[0].platform})', file=sys.stderr)
+    if multiproc:
+        # each process owns only its local devices; measure the one global
+        # mesh (smaller meshes would exclude processes from the program)
+        counts = [n_dev]
+        if args.mode == 'both':
+            args.mode = 'dp'
+    print(f'# devices: {n_dev} ({devices[0].platform}), '
+          f'process {jax.process_index()}/{jax.process_count()}',
+          file=sys.stderr)
 
     rows = []
 
@@ -110,22 +194,33 @@ def main():
             z = rs.choice([1, 6, 7, 8], size=(B, N)).astype(np.int32)
             z[:, -3:] = 0
             pos = (rs.randn(B, N, 3) * 1.8).astype(np.float32)
-            # this process feeds its slice only (exercises the multi-host
-            # data path; trivially the whole batch when single-process)
-            start, size = process_local_batch_slice(B)
-            batch = {'z': jnp.asarray(z), 'pos': jnp.asarray(pos),
-                     'cell': jnp.zeros((B, 3, 3), jnp.float32),
-                     'energy': jnp.zeros((B,), jnp.float32),
-                     'force': jnp.zeros((B, N, 3), jnp.float32),
-                     'graph_mask': jnp.ones((B,), bool)}
+            host_batch = {'z': z, 'pos': pos,
+                          'cell': np.zeros((B, 3, 3), np.float32),
+                          'energy': np.zeros((B,), np.float32),
+                          'force': np.zeros((B, N, 3), np.float32),
+                          'graph_mask': np.ones((B,), bool)}
             mesh = make_mesh(data=d, graph=1, devices=devices[:d])
             repl = NamedSharding(mesh, P())
             bsh = NamedSharding(mesh, P('data'))
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
 
-            params = jax.jit(model.init, static_argnums=())(
-                jax.random.PRNGKey(0), batch['z'], batch['pos'],
-                batch['cell'])
-            opt_state = tx.init(params)
+            if multiproc:
+                # host params (same everywhere: fixed seed on CPU), entered
+                # as global replicated arrays
+                import jax as _jax
+                with _jax.default_device(_jax.local_devices()[0]):
+                    params = jax.jit(model.init)(
+                        jax.random.PRNGKey(0),
+                        jnp.asarray(z[:1]), jnp.asarray(pos[:1]),
+                        jnp.zeros((1, 3, 3), jnp.float32))
+                params = jax.device_put(jax.device_get(params), repl)
+                opt_state = jax.device_put(
+                    jax.device_get(tx.init(params)), repl)
+            else:
+                params = jax.jit(model.init, static_argnums=())(
+                    jax.random.PRNGKey(0), batch['z'], batch['pos'],
+                    batch['cell'])
+                opt_state = tx.init(params)
 
             def train_step(params, opt_state, batch):
                 def loss_fn(p):
@@ -141,16 +236,25 @@ def main():
                                          jax.tree.map(lambda _: bsh, batch)),
                            out_shardings=(repl, repl, repl),
                            donate_argnums=(0, 1))
-            batch = jax.device_put(batch, bsh)
-            params = jax.device_put(params, repl)
-            opt_state = jax.device_put(opt_state, repl)
-            poison(batch['pos'])
-
-            # count real edges once (cutoff graph on the synthetic batch)
+            # count real edges once (cutoff graph on the synthetic batch),
+            # on host-local arrays: under multi-process, eager ops on
+            # global sharded arrays are not addressable from one process
             from newtonnet_tpu.ops.neighbors import dense_graph
             _, adj = jax.jit(dense_graph, static_argnums=(3,))(
-                batch['pos'], batch['cell'], batch['z'] > 0, 5.0)
+                jnp.asarray(host_batch['pos']),
+                jnp.asarray(host_batch['cell']),
+                jnp.asarray(host_batch['z'] > 0), 5.0)
             edges = int(jnp.sum(adj))
+
+            if multiproc:
+                # real per-process slice -> global arrays (the multi-host
+                # data path the Trainer runs, parallel/distributed.py)
+                batch = global_data_batch(mesh, host_batch)
+            else:
+                batch = jax.device_put(batch, bsh)
+                params = jax.device_put(params, repl)
+                opt_state = jax.device_put(opt_state, repl)
+            poison(jnp.ones(()))
 
             def run(params, opt_state):
                 p, o, loss = step(params, opt_state, batch)
