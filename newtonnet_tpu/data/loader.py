@@ -37,8 +37,12 @@ def parse_xyz(raw_path, units, pre_transform=None, pre_filter=None):
     (tests/test_native.py).
     '''
     from newtonnet_tpu import native
-    if native.available():
+    if native.available() and not _has_tensor_labels(raw_path):
+        # the native parser does not decode stress/virial info fields;
+        # labelled files route through the Python reader so cell-labelled
+        # (condensed-phase) training data is never silently stripped
         return _parse_xyz_native(raw_path, units, pre_transform, pre_filter)
+    stress_unit = units['energy'] / units['length'] ** 3
     samples = []
     for frame in read_extxyz(raw_path):
         cell = frame.cell.copy()
@@ -52,12 +56,28 @@ def parse_xyz(raw_path, units, pre_transform=None, pre_filter=None):
             force=frame.forces * units['energy'] / units['length']
             if frame.forces is not None else None,
         )
+        if frame.stress is not None:
+            sample['stress'] = frame.stress * stress_unit
+        if frame.virial is not None:
+            sample['virial'] = frame.virial * units['energy']
         if pre_filter is not None and not pre_filter(sample):
             continue
         if pre_transform is not None:
             sample = pre_transform(sample)
         samples.append(sample)
     return samples
+
+
+def _has_tensor_labels(raw_path):
+    '''True when an extxyz file carries stress=/virial= info fields
+    (checked on the first frame's comment line).'''
+    try:
+        with open(raw_path) as f:
+            f.readline()
+            comment = f.readline()
+        return 'stress=' in comment or 'virial=' in comment
+    except OSError:
+        return False
 
 
 def _parse_xyz_native(raw_path, units, pre_transform=None, pre_filter=None):
@@ -144,7 +164,7 @@ def _pack(samples):
         ptr[i + 1] = ptr[i] + len(s['z'])
     has_energy = samples[0]['energy'] is not None
     has_force = samples[0]['force'] is not None
-    return {
+    packed = {
         'ptr': ptr,
         'z': np.concatenate([s['z'] for s in samples]),
         'pos': np.concatenate([s['pos'] for s in samples]),
@@ -154,6 +174,10 @@ def _pack(samples):
         'force': (np.concatenate([s['force'] for s in samples])
                   if has_force else np.zeros((0, 3))),
     }
+    for key in ('stress', 'virial'):  # per-graph 3x3 labels, optional
+        if samples[0].get(key) is not None:
+            packed[key] = np.stack([s[key] for s in samples])
+    return packed
 
 
 class MolecularInMemoryDataset:
@@ -188,6 +212,10 @@ class MolecularInMemoryDataset:
         self._cell = data['cell'].astype(self.precision)
         self._energy = data['energy'].astype(self.precision)
         self._force = data['force'].astype(self.precision)
+        self._stress = (data['stress'].astype(self.precision)
+                        if 'stress' in data.files else None)
+        self._virial = (data['virial'].astype(self.precision)
+                        if 'virial' in data.files else None)
 
     @property
     def raw_dir(self):
@@ -216,10 +244,15 @@ class MolecularInMemoryDataset:
 
     def __getitem__(self, idx):
         lo, hi = self._ptr[idx], self._ptr[idx + 1]
-        return Sample(
+        s = Sample(
             z=self._z[lo:hi], pos=self._pos[lo:hi], cell=self._cell[idx],
             energy=self._energy[idx] if self._energy.size else None,
             force=self._force[lo:hi] if self._force.size else None)
+        if self._stress is not None:
+            s['stress'] = self._stress[idx]
+        if self._virial is not None:
+            s['virial'] = self._virial[idx]
+        return s
 
     @property
     def max_atoms(self):
@@ -264,13 +297,15 @@ class MolecularDataset(MolecularInMemoryDataset):
         for raw_path in self.raw_paths:
             for s in _parse_raw(raw_path, self.units, self.pre_transform,
                                 self.pre_filter):
+                extra = {k: s[k] for k in ('stress', 'virial')
+                         if s.get(k) is not None}
                 np.savez(
                     osp.join(self.processed_dir, f'data_{idx}.npz'),
                     n=len(s['z']), z=s['z'], pos=s['pos'], cell=s['cell'],
                     energy=np.float64(s['energy'])
                     if s['energy'] is not None else np.nan,
                     force=s['force'] if s['force'] is not None
-                    else np.zeros((0, 3)))
+                    else np.zeros((0, 3)), **extra)
                 idx += 1
 
     def __len__(self):
@@ -280,12 +315,16 @@ class MolecularDataset(MolecularInMemoryDataset):
         d = np.load(self._files[idx])
         energy = d['energy']
         force = d['force']
-        return Sample(
+        s = Sample(
             z=d['z'].astype(np.int32),
             pos=d['pos'].astype(self.precision),
             cell=d['cell'].astype(self.precision),
             energy=self.precision.type(energy) if not np.isnan(energy) else None,
             force=force.astype(self.precision) if force.size else None)
+        for key in ('stress', 'virial'):
+            if key in d.files:
+                s[key] = d[key].astype(self.precision)
+        return s
 
     @property
     def max_atoms(self):
@@ -412,6 +451,15 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
         K = samples[0]['nlist_idx'].shape[-1]
         batch['nlist_idx'] = np.zeros((B, N, K), np.int32)
         batch['nlist_mask'] = np.zeros((B, N, K), bool)
+    # per-graph 3x3 labels (stress/virial training): present on all frames
+    # of a dataset or none (partial labelling would train on zeros)
+    for key in ('stress', 'virial'):
+        with_t = sum(s.get(key) is not None for s in samples)
+        if with_t and with_t != len(samples):
+            raise ValueError(f'mixed batch: {with_t}/{len(samples)} samples '
+                             f'carry a {key} label')
+        if with_t:
+            batch[key] = np.zeros((B, 3, 3), dtype=dtype)
     for i, s in enumerate(samples):
         n = len(s['z'])
         batch['z'][i, :n] = s['z']
@@ -424,6 +472,9 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
         if 'nlist_idx' in s:
             batch['nlist_idx'][i, :n] = s['nlist_idx']
             batch['nlist_mask'][i, :n] = s['nlist_mask']
+        for key in ('stress', 'virial'):
+            if key in batch:
+                batch[key][i] = s[key]
         batch['graph_mask'][i] = True
     return batch
 
@@ -697,7 +748,7 @@ class MolecularShardedDataset(MolecularInMemoryDataset):
         lo, hi = d['ptr'][i], d['ptr'][i + 1]
         has_energy = d['energy'].size > 0
         has_force = d['force'].size > 0
-        return Sample(
+        s = Sample(
             z=d['z'][lo:hi].astype(np.int32),
             pos=d['pos'][lo:hi].astype(self.precision),
             cell=d['cell'][i].astype(self.precision),
@@ -705,6 +756,10 @@ class MolecularShardedDataset(MolecularInMemoryDataset):
             if has_energy else None,
             force=d['force'][lo:hi].astype(self.precision)
             if has_force else None)
+        for key in ('stress', 'virial'):
+            if key in d:
+                s[key] = d[key][i].astype(self.precision)
+        return s
 
     @property
     def max_atoms(self):

@@ -65,12 +65,27 @@ def _parse_properties(spec):
     return out
 
 
+def _parse_3x3(text):
+    '''A 3x3 tensor from an extxyz info value: 9 numbers (row-major, the
+    ASE convention) or 6 (Voigt order xx yy zz yz xz xy).'''
+    v = np.fromstring(text, sep=' ')
+    if v.size == 9:
+        return v.reshape(3, 3)
+    if v.size == 6:
+        xx, yy, zz, yz, xz, xy = v
+        return np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+    raise ValueError(f'expected 9 or 6 numbers for a 3x3 tensor, got '
+                     f'{v.size}')
+
+
 class Frame:
     '''One molecular frame: numbers (n,), positions (n, 3) and optional
-    cell (3, 3), pbc (3,), energy (scalar), forces (n, 3), arrays dict.'''
+    cell (3, 3), pbc (3,), energy (scalar), forces (n, 3),
+    stress/virial (3, 3), arrays dict.'''
 
     def __init__(self, numbers, positions, cell=None, pbc=None, energy=None,
-                 forces=None, info=None, arrays=None):
+                 forces=None, stress=None, virial=None, info=None,
+                 arrays=None):
         self.numbers = np.asarray(numbers, dtype=np.int32)
         self.positions = np.asarray(positions, dtype=np.float64)
         self.cell = (np.zeros((3, 3)) if cell is None
@@ -80,6 +95,10 @@ class Frame:
         self.energy = None if energy is None else float(energy)
         self.forces = None if forces is None else np.asarray(
             forces, dtype=np.float64)
+        self.stress = None if stress is None else np.asarray(
+            stress, dtype=np.float64).reshape(3, 3)
+        self.virial = None if virial is None else np.asarray(
+            virial, dtype=np.float64).reshape(3, 3)
         self.info = info or {}
         self.arrays = arrays or {}
 
@@ -148,10 +167,15 @@ def read_extxyz(path, index=None):
             elif cell is not None:
                 pbc = np.ones(3, dtype=bool)
             energy = info.pop('energy', None)
+            stress = virial = None
+            if 'stress' in info:
+                stress = _parse_3x3(info.pop('stress'))
+            if 'virial' in info:
+                virial = _parse_3x3(info.pop('virial'))
 
             frames.append(Frame(numbers, positions, cell=cell, pbc=pbc,
-                                energy=energy, forces=forces, info=info,
-                                arrays=columns))
+                                energy=energy, forces=forces, stress=stress,
+                                virial=virial, info=info, arrays=columns))
             if index is not None and len(frames) > index:
                 break
     if index is not None:
@@ -175,6 +199,12 @@ def write_extxyz(path, frames, mode='w'):
             parts.append(f'Properties={prop}')
             if fr.energy is not None:
                 parts.append(f'energy={fr.energy!r}')
+            if fr.stress is not None:
+                s = ' '.join(f'{x:.10g}' for x in fr.stress.ravel())
+                parts.append(f'stress="{s}"')
+            if fr.virial is not None:
+                s = ' '.join(f'{x:.10g}' for x in fr.virial.ravel())
+                parts.append(f'virial="{s}"')
             pbc = ' '.join('T' if b else 'F' for b in fr.pbc)
             parts.append(f'pbc="{pbc}"')
             f.write(f'{len(fr)}\n{" ".join(parts)}\n')

@@ -106,6 +106,63 @@ def ewald_energy_periodic(charge, pos, cell, atom_mask, sigma=1.0, n_k=8):
     return jnp.where(is_periodic, energy, 0.0)
 
 
+def ewald_energy_periodic_sharded(charge, pos, cell, atom_mask, graph_axis,
+                                  sigma=1.0, n_k=8):
+    '''Reciprocal-space latent Ewald energy with atoms sharded over a mesh
+    axis (halo graph parallelism, parallel/halo.py).
+
+    The structure factor is a sum over atoms, so it shards naturally:
+    S(k) = psum_shards S_loc(k). Called per shard inside shard_map with the
+    LOCAL atom slab (charge (B, N_loc), pos (B, N_loc, 3); cell/atom
+    metadata replicated along the graph axis), it returns a per-shard local
+    energy contribution
+
+        e_lr_local = sum_k P_k(cell) Re[conj(psum(S_loc)) S_loc]
+
+    (P_k the k-weight (2 pi / V) exp(-s^2 k^2/2)/k^2) with the psum fully
+    DIFFERENTIABLE. The sum over shards of e_lr_local equals
+    sum_k P_k |S|^2 == ewald_energy_periodic of the full graph as a
+    FUNCTIONAL IDENTITY, not merely in value -- so under shard_map's psum
+    transpose (which accumulates cotangents across shards) every
+    derivative order of the shard-summed energy is exact automatically:
+    first-order charge/position/cell gradients (the product rule's factor
+    2 on dS emerges from the transpose), and the second-order terms a
+    force-mse parameter gradient needs (d^2 E / dpos dtheta couples shards
+    through dS/dtheta -- a stop_gradient'd structure factor would silently
+    drop exactly that coupling). No surrogate is needed here, unlike the
+    per-graph energy residual in parallel/halo.py: e_lr_local is
+    shard-VARYING and decomposes the global energy, whereas a replicated
+    per-shard quantity would D-fold overcount under the same transpose.
+    '''
+    is_periodic = jnp.any(cell != 0, axis=(-1, -2))
+    eye = jnp.eye(3, dtype=cell.dtype)
+    safe_cell = jnp.where(is_periodic[:, None, None], cell, eye)
+    volume = jnp.abs(det3x3(safe_cell))
+    recip = TWO_PI * jnp.swapaxes(inv3x3(safe_cell), -1, -2)
+
+    offsets, k_mask = _k_lattice(n_k)
+    kvec = jnp.einsum('mx,bxy->bmy', offsets.astype(pos.dtype), recip)
+    k2 = jnp.sum(kvec * kvec, axis=-1)
+    k2_safe = jnp.where(k_mask[None, :], k2, 1.0)
+
+    frac = jnp.einsum('bny,byx->bnx', pos, inv3x3(safe_cell))
+    pos_w = jnp.einsum('bnx,bxy->bny', frac % 1.0, safe_cell)
+    pos_w = jnp.where(is_periodic[:, None, None], pos_w, pos)
+    phase = jnp.einsum('bmy,bny->bmn', kvec, pos_w)  # (B, M, N_loc)
+    q = charge * atom_mask.astype(charge.dtype)
+    s_re = jnp.einsum('bmn,bn->bm', jnp.cos(phase), q)  # local partial
+    s_im = jnp.einsum('bmn,bn->bm', jnp.sin(phase), q)
+    sbar_re = jax.lax.psum(s_re, graph_axis)  # differentiable (see above)
+    sbar_im = jax.lax.psum(s_im, graph_axis)
+
+    u = sbar_re * s_re + sbar_im * s_im  # (B, M)
+    weight = jnp.exp(-0.5 * sigma * sigma * k2_safe) / k2_safe
+    weight = jnp.where(k_mask[None, :], weight, 0.0)
+    p = (TWO_PI / volume[:, None]) * weight
+    e_local = jnp.sum(p * u, axis=-1)
+    return jnp.where(is_periodic, e_local, 0.0)
+
+
 def ewald_energy_aperiodic(charge, pos, atom_mask, sigma=1.0, eps=1e-12):
     '''Direct-space smeared Coulomb energy for isolated molecules.
 

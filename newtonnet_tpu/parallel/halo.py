@@ -255,7 +255,32 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
     return jax.jit(sharded)
 
 
-def make_halo_grads_fn(model, mesh, n_halo,
+HALO_LOSS_KEYS = frozenset(
+    {'energy', 'gradient_force', 'stress', 'virial'})
+
+
+def _halo_loss_config(loss_config, energy_weight, force_weight):
+    '''Normalize/validate the halo loss config; None falls back to the
+    classic energy+force pair built from the two weight scalars.'''
+    if loss_config is None:
+        loss_config = {'energy': {'weight': energy_weight},
+                       'gradient_force': {'weight': force_weight}}
+    cfg = {k: dict(v or {}) for k, v in loss_config.items()}
+    bad = set(cfg) - HALO_LOSS_KEYS
+    if bad or not cfg:
+        raise ValueError(
+            f'halo training supports losses within '
+            f'{sorted(HALO_LOSS_KEYS)} (got {sorted(cfg) or None})')
+    for k, v in cfg.items():
+        if v.get('mode', 'mse') != 'mse':
+            raise ValueError(
+                f"halo training losses are mse-only (got mode="
+                f"{v.get('mode')!r} for {k}); the surrogate-gradient "
+                f"algebra below is derived for squared error")
+    return cfg
+
+
+def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
                        energy_weight=1.0, force_weight=50.0,
                        data_axis='data', graph_axis='graph',
                        with_grads=True):
@@ -266,18 +291,40 @@ def make_halo_grads_fn(model, mesh, n_halo,
     only the metrics come back.
 
     batch = {z (B, N), pos (B, N, 3), cell (B, 3, 3), energy (B,),
-    force (B, N, 3), graph_mask (B,)} is globally sharded (batch over
-    `data_axis`, atoms over `graph_axis`, labels alongside). Loss =
-    energy_weight * mse(E) + force_weight * mse(F) with masked-mean
-    normalization identical to train/loss.py; gradients are psum-reduced
-    over both axes.
+    force (B, N, 3), graph_mask (B,), [stress (B, 3, 3)], [virial ...]}
+    is globally sharded (batch over `data_axis`, atoms over `graph_axis`,
+    labels alongside). loss_config follows train/loss.py
+    ({'energy': {'weight': w}, 'gradient_force': ..., 'stress': ...,
+    'virial': ...}, mse modes); None = the classic energy+force pair from
+    the two weight scalars. Masked-mean normalization is identical to
+    train/loss.py; gradients are psum-reduced over both axes.
 
-    The energy mse term is formed as a local surrogate
-    sum(stop_grad(residual) * e_local): its gradient psum-accumulates to
-    exactly d/dtheta sum (E_pred - E)^2 without differentiating through
-    the cross-shard psum (whose legacy transpose would double-count).
+    Per-graph predictions (energy, stress, virial) cross shards through
+    psums whose legacy shard_map transpose would double-count, so each
+    mse term is formed as a local surrogate sum(stop_grad(residual) *
+    local_contribution) -- its gradient psum-accumulates to exactly
+    d/dtheta of the global mse. Stress/virial ride the same strain-
+    displacement trick as models/output.py, applied to each shard's LOCAL
+    pos/cell before the in-core halo exchange (the displacement cotangent
+    then rides the transposed ppermutes like the force cotangent).
+
+    Models with a 'charge' head additionally include the latent-Ewald
+    long-range energy: the structure factor psums over graph shards
+    (ops/ewald.ewald_energy_periodic_sharded -- exact value AND gradients,
+    including the cell path for stress). Requires ewald_mode='periodic'
+    (the aperiodic direct-space sum needs all-pairs terms the slab
+    decomposition does not materialize).
     '''
+    cfg = _halo_loss_config(loss_config, energy_weight, force_weight)
     core = _halo_core(model, graph_axis, n_halo, mesh)
+    needs_disp = 'stress' in cfg or 'virial' in cfg
+    has_charge = 'charge' in getattr(model, 'output_properties', ())
+    if has_charge and getattr(model, 'ewald_mode', 'auto') != 'periodic':
+        raise ValueError(
+            "halo training with a charge head requires ewald_mode="
+            "'periodic' (set it in the model config; the CLI auto-selects "
+            "it for all-periodic datasets)")
+    w = {k: float(v.get('weight', 1.0)) for k, v in cfg.items()}
 
     def local_grads(params, batch):
         z, pos, cell = batch['z'], batch['pos'], batch['cell']
@@ -290,32 +337,75 @@ def make_halo_grads_fn(model, mesh, n_halo,
         n_graphs = jnp.maximum(jax.lax.psum(jnp.sum(gmask), data_axis), 1.0)
         n_force = jnp.maximum(
             3.0 * jax.lax.psum(jnp.sum(fmask), (data_axis, graph_axis)), 1.0)
+        n_tensor = 9.0 * n_graphs  # 3x3 entries per labelled graph
+        volume = jnp.abs(det3x3(cell))  # (B_loc,)
 
         def loss_fn(p):
-            def local_energy(pos):
-                out = core.apply(p, z, pos, cell)
+            def local_energy(pos, disp):
+                if needs_disp:
+                    sym = 0.5 * (disp + jnp.swapaxes(disp, -1, -2))
+                    pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
+                    cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
+                else:
+                    pos_d, cell_d = pos, cell
+                out = core.apply(p, z, pos_d, cell_d)
                 e_local = jnp.sum(out['atomic_energy'][..., 0]
                                   * atom_mask.astype(pos.dtype), axis=-1)
+                if has_charge:
+                    from newtonnet_tpu.ops.ewald import \
+                        ewald_energy_periodic_sharded
+                    e_local = e_local + ewald_energy_periodic_sharded(
+                        out['charge'], pos_d, cell_d, atom_mask, graph_axis,
+                        sigma=model.ewald_sigma, n_k=model.ewald_n_k)
+                # differentiate the LOCAL energy sum; the halo ppermutes
+                # transpose to reverse ppermutes delivering cross-shard
+                # dE_other/dpos_mine terms, and the sharded Ewald term's
+                # gradients are exact per shard by construction
                 return jnp.sum(e_local), e_local
 
-            (_, e_local), pos_grad = jax.value_and_grad(
-                local_energy, has_aux=True)(pos)
+            disp = jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype),
+                                    (pos.shape[0], 3, 3))
+            if needs_disp:
+                (_, e_local), (pos_grad, disp_grad) = jax.value_and_grad(
+                    local_energy, argnums=(0, 1), has_aux=True)(pos, disp)
+            else:
+                (_, e_local), pos_grad = jax.value_and_grad(
+                    local_energy, has_aux=True)(pos, disp)
+                disp_grad = None
             forces = -pos_grad
 
-            e_pred = jax.lax.psum(e_local, graph_axis)  # (B_loc,)
-            resid = 2.0 * gmask * (e_pred - batch['energy']) / n_graphs
-            # exact d(mse_E)/dtheta via the local surrogate (see docstring)
-            e_term = jnp.sum(jax.lax.stop_gradient(resid) * e_local)
+            loss = 0.0
+            aux = {'e_local': e_local,
+                   'e_pred': jax.lax.psum(e_local, graph_axis)}
+
+            if 'energy' in cfg:
+                resid = 2.0 * gmask * (aux['e_pred'] - batch['energy']) \
+                    / n_graphs
+                # exact d(mse_E)/dtheta via the local surrogate
+                loss += w['energy'] * jnp.sum(
+                    jax.lax.stop_gradient(resid) * e_local)
 
             f_err = (forces - batch['force']) * fmask
-            f_term = jnp.sum(f_err * f_err) / n_force
+            aux['f_se'] = jnp.sum(f_err * f_err)
+            aux['f_ae'] = jnp.sum(jnp.abs(f_err))
+            if 'gradient_force' in cfg:
+                loss += w['gradient_force'] * aux['f_se'] / n_force
 
-            loss = energy_weight * e_term + force_weight * f_term
-            aux = {
-                'e_pred': e_pred, 'e_local': e_local,
-                'f_se': jnp.sum(f_err * f_err),
-                'f_ae': jnp.sum(jnp.abs(f_err)),
-            }
+            for key, local_tensor in (
+                    ('stress', (lambda: disp_grad
+                                / volume[:, None, None])),
+                    ('virial', (lambda: -disp_grad))):
+                if key not in cfg:
+                    continue
+                t_local = local_tensor()  # (B_loc, 3, 3) local share
+                t_pred = jax.lax.psum(t_local, graph_axis)
+                t_err = (t_pred - batch[key]) * gmask[:, None, None]
+                aux[f'{key}_se'] = jnp.sum(t_err * t_err)
+                aux[f'{key}_ae'] = jnp.sum(jnp.abs(t_err))
+                if key in cfg:
+                    resid = 2.0 * gmask[:, None, None] * t_err / n_tensor
+                    loss += w[key] * jnp.sum(
+                        jax.lax.stop_gradient(resid) * t_local)
             return loss, aux
 
         if with_grads:
@@ -326,30 +416,47 @@ def make_halo_grads_fn(model, mesh, n_halo,
             loss, aux = loss_fn(params)
             grads = None
 
-        # metrics with global masked-mean normalization (train/loss.py)
+        # metrics with global masked-mean normalization (train/loss.py),
+        # matching the eval battery get_loss_by_string derives from the
+        # same config (the Trainer zips these with its totals dict)
         e_err = (aux['e_pred'] - batch['energy']) * gmask
         e_mse = jax.lax.psum(jnp.sum(e_err * e_err), data_axis) / n_graphs
         e_mae = jax.lax.psum(jnp.sum(jnp.abs(e_err)), data_axis) / n_graphs
         f_mse = jax.lax.psum(aux['f_se'], (data_axis, graph_axis)) / n_force
         f_mae = jax.lax.psum(aux['f_ae'], (data_axis, graph_axis)) / n_force
-        # per-atom energy metrics (the standard eval battery's
-        # energy_per_atom_* rows): per-graph atom counts psum over shards
-        n_at = jnp.maximum(jax.lax.psum(
-            jnp.sum(atom_mask.astype(pos.dtype), axis=1), graph_axis), 1.0)
-        ea_err = e_err / n_at
-        ea_mse = jax.lax.psum(jnp.sum(ea_err * ea_err), data_axis) / n_graphs
-        ea_mae = jax.lax.psum(jnp.sum(jnp.abs(ea_err)), data_axis) / n_graphs
-        metrics = {
-            'loss': energy_weight * e_mse + force_weight * f_mse,
-            'energy_mae': e_mae, 'energy_mse': e_mse,
-            'energy_per_atom_mae': ea_mae, 'energy_per_atom_mse': ea_mse,
-            'gradient_force_mae': f_mae, 'gradient_force_mse': f_mse,
-        }
+        metrics = {'loss': 0.0}
+        if 'energy' in cfg:
+            # per-atom energy metrics: per-graph atom counts psum over shards
+            n_at = jnp.maximum(jax.lax.psum(
+                jnp.sum(atom_mask.astype(pos.dtype), axis=1), graph_axis),
+                1.0)
+            ea_err = e_err / n_at
+            ea_mse = jax.lax.psum(jnp.sum(ea_err * ea_err),
+                                  data_axis) / n_graphs
+            ea_mae = jax.lax.psum(jnp.sum(jnp.abs(ea_err)),
+                                  data_axis) / n_graphs
+            metrics |= {'energy_mae': e_mae, 'energy_mse': e_mse,
+                        'energy_per_atom_mae': ea_mae,
+                        'energy_per_atom_mse': ea_mse}
+            metrics['loss'] += w['energy'] * e_mse
+        if 'gradient_force' in cfg:
+            metrics |= {'gradient_force_mae': f_mae,
+                        'gradient_force_mse': f_mse}
+            metrics['loss'] += w['gradient_force'] * f_mse
+        for key in ('stress', 'virial'):
+            if key in cfg:
+                t_mse = jax.lax.psum(aux[f'{key}_se'], data_axis) / n_tensor
+                t_mae = jax.lax.psum(aux[f'{key}_ae'], data_axis) / n_tensor
+                metrics |= {f'{key}_mae': t_mae, f'{key}_mse': t_mse}
+                metrics['loss'] += w[key] * t_mse
         if not with_grads:
             return metrics
         return grads, metrics
 
-    batch_specs = halo_batch_specs(data_axis, graph_axis)
+    batch_specs = halo_batch_specs(data_axis, graph_axis,
+                                   tensor_labels=[k for k in
+                                                  ('stress', 'virial')
+                                                  if k in cfg])
     return shard_map(
         local_grads, mesh=mesh,
         in_specs=(P(), batch_specs),
@@ -357,15 +464,16 @@ def make_halo_grads_fn(model, mesh, n_halo,
         check_vma=False)
 
 
-def make_halo_train_step(model, tx, mesh, n_halo,
+def make_halo_train_step(model, tx, mesh, n_halo, loss_config=None,
                          energy_weight=1.0, force_weight=50.0,
                          data_axis='data', graph_axis='graph'):
     '''Jitted sharded training step for the halo-parallel configuration:
     step(params, opt_state, batch) -> (params, opt_state, metrics) with
     the optax update running replicated (see make_halo_grads_fn).'''
     sharded_grads = make_halo_grads_fn(
-        model, mesh, n_halo, energy_weight, force_weight,
-        data_axis, graph_axis)
+        model, mesh, n_halo, loss_config=loss_config,
+        energy_weight=energy_weight, force_weight=force_weight,
+        data_axis=data_axis, graph_axis=graph_axis)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
@@ -378,10 +486,12 @@ def make_halo_train_step(model, tx, mesh, n_halo,
     return step
 
 
-def halo_batch_specs(data_axis='data', graph_axis='graph'):
+def halo_batch_specs(data_axis='data', graph_axis='graph',
+                     tensor_labels=()):
     '''PartitionSpecs of a halo training batch (single source of truth for
-    make_halo_train_step and shard_halo_batch).'''
-    return {
+    make_halo_train_step and shard_halo_batch). `tensor_labels` adds the
+    per-graph 3x3 labels ('stress'/'virial') the loss config uses.'''
+    specs = {
         'z': P(data_axis, graph_axis),
         'pos': P(data_axis, graph_axis, None),
         'cell': P(data_axis),
@@ -389,11 +499,16 @@ def halo_batch_specs(data_axis='data', graph_axis='graph'):
         'force': P(data_axis, graph_axis, None),
         'graph_mask': P(data_axis),
     }
+    for key in tensor_labels:
+        specs[key] = P(data_axis)
+    return specs
 
 
 def shard_halo_batch(batch, mesh, data_axis='data', graph_axis='graph'):
     '''Device-put a (pre-sorted, padded) global batch with halo shardings.'''
     from jax.sharding import NamedSharding
-    specs = halo_batch_specs(data_axis, graph_axis)
+    specs = halo_batch_specs(data_axis, graph_axis,
+                             tensor_labels=[k for k in ('stress', 'virial')
+                                            if k in batch])
     return {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
             if k in specs else v for k, v in batch.items()}

@@ -74,11 +74,22 @@ def _force_loss(key, mode, transform=None, weight=1.0, **kw):
     return fn
 
 
+def _graph_tensor_loss(key, mode, weight=1.0, **kw):
+    '''Per-graph tensor labels (stress/virial: (B, 3, 3)), masked over
+    padding graphs. The reference has no stress/virial loss (its loss.py
+    stops at forces); cell-labeled condensed-phase training needs one, so
+    this extends the same construction.'''
+    def fn(preds, batch):
+        err = _elementwise(mode, preds[key], batch[key], **kw)
+        return weight * _masked_mean(err, batch['graph_mask'])
+    return fn
+
+
 def get_loss_by_string(losses):
     '''Build (main_loss, eval_loss) from the config dict (ref loss.py:5-50).
 
     losses: {'energy': {'weight':..,'mode':..}, 'gradient_force': {...},
-             'direct_force': {...}}
+             'direct_force': {...}, 'stress': {...}, 'virial': {...}}
     '''
     if losses is None:
         raise AssertionError('losses is not defined.')
@@ -105,6 +116,11 @@ def get_loss_by_string(losses):
             evals['direct_force_cos_mse'] = _force_loss(key, 'mse', 'cos')
             evals['direct_force_norm_mae'] = _force_loss(key, 'mae', 'norm')
             evals['direct_force_norm_mse'] = _force_loss(key, 'mse', 'norm')
+        elif key in ('stress', 'virial'):
+            main.append(_graph_tensor_loss(key, mode, weight=weight,
+                                           **kwargs))
+            evals[f'{key}_mae'] = _graph_tensor_loss(key, 'mae')
+            evals[f'{key}_mse'] = _graph_tensor_loss(key, 'mse')
         else:
             raise NotImplementedError(f'loss for {key} is not implemented')
 

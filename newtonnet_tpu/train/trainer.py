@@ -235,21 +235,23 @@ class Trainer:
                     "halo training needs a mesh with a 'graph' axis of "
                     "size >= 2 (training: parallel: {data: D, graph: G})")
             cfg = getattr(self.main_loss, 'config', None)
-            if (cfg is None or set(cfg) != {'energy', 'gradient_force'}
-                    or any(v.get('mode', 'mse') != 'mse'
-                           for v in cfg.values())):
+            if cfg is None:
                 raise ValueError(
-                    'halo training supports exactly the energy + '
-                    'gradient_force mse loss configuration (got '
-                    f'{cfg and sorted(cfg)})')
+                    'halo training needs a loss built by get_loss_by_string '
+                    '(its .config drives the sharded loss algebra)')
             from newtonnet_tpu.parallel.halo import make_halo_grads_fn
-            ew = cfg['energy'].get('weight', 1.0)
-            fw = cfg['gradient_force'].get('weight', 1.0)
+            # validates keys/modes (energy/gradient_force/stress/virial,
+            # mse) and the charge-head ewald_mode requirement
             self._halo_grads = make_halo_grads_fn(
-                model, self.mesh, int(self.halo['n_halo']), ew, fw)
+                model, self.mesh, int(self.halo['n_halo']), loss_config=cfg)
             self._halo_eval = make_halo_grads_fn(
-                model, self.mesh, int(self.halo['n_halo']), ew, fw,
+                model, self.mesh, int(self.halo['n_halo']), loss_config=cfg,
                 with_grads=False)
+            # the shard_map in_specs cover exactly the keys the loss reads;
+            # extra batch keys (e.g. labels outside the config) are dropped
+            from newtonnet_tpu.parallel.halo import halo_batch_specs
+            self._halo_batch_keys = frozenset(halo_batch_specs(
+                tensor_labels=[k for k in ('stress', 'virial') if k in cfg]))
             self.fast_grad = False  # halo owns its gradient algebra
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -274,6 +276,8 @@ class Trainer:
         # `lr` (traced scalar) is set into the opt state when a per-step
         # scheduler drives the run; None keeps the state's current lr.
         if self.halo is not None:
+            batch = {k: v for k, v in batch.items()
+                     if k in self._halo_batch_keys}
             grads, metrics = self._halo_grads(params, batch)
             if lr is not None:
                 opt_state = with_learning_rate(opt_state, lr)
@@ -406,6 +410,8 @@ class Trainer:
 
     def _eval_step_body(self, params, totals, batch):
         if self.halo is not None:
+            batch = {k: v for k, v in batch.items()
+                     if k in self._halo_batch_keys}
             metrics = self._halo_eval(params, batch)
             return jax.tree.map(lambda t, m: t + m, totals, metrics)
         preds = self.model.apply(params, batch['z'], batch['pos'],
@@ -890,10 +896,14 @@ class Trainer:
         if not hasattr(self, '_metric_names_cache'):
             zero = {'energy': jax.numpy.zeros(1),
                     'gradient_force': jax.numpy.zeros((1, 1, 3)),
-                    'direct_force': jax.numpy.zeros((1, 1, 3))}
+                    'direct_force': jax.numpy.zeros((1, 1, 3)),
+                    'stress': jax.numpy.zeros((1, 3, 3)),
+                    'virial': jax.numpy.zeros((1, 3, 3))}
             fake_batch = {'z': jax.numpy.ones((1, 1), jax.numpy.int32),
                           'energy': jax.numpy.zeros(1),
                           'force': jax.numpy.zeros((1, 1, 3)),
+                          'stress': jax.numpy.zeros((1, 3, 3)),
+                          'virial': jax.numpy.zeros((1, 3, 3)),
                           'graph_mask': jax.numpy.ones(1, bool)}
             self._metric_names_cache = sorted(
                 jax.eval_shape(self.eval_loss, zero, fake_batch).keys())

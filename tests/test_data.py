@@ -519,3 +519,48 @@ def test_bucketed_loader_uses_size_metadata(tmp_path):
     assert loader.buckets == [8]  # 4 atoms -> padded to the multiple
     n = sum(int(b['graph_mask'].sum()) for b in loader)
     assert n == 32
+
+
+def test_stress_virial_labels_round_trip(tmp_path):
+    '''extxyz stress=/virial= info fields survive write -> read -> dataset
+    -> collate, with stress unit-converted as energy/length^3.'''
+    from newtonnet_tpu.data.units import get_unit as _u
+    root = os.path.join(tmp_path, 's')
+    os.makedirs(os.path.join(root, 'raw'))
+    rs = np.random.RandomState(11)
+    frames = []
+    for i in range(4):
+        s = rs.randn(3, 3)
+        frames.append(Frame(numbers=[8, 1, 1], positions=rs.randn(3, 3) + 5,
+                            cell=np.eye(3) * 10, pbc=[True] * 3,
+                            energy=float(i), forces=rs.randn(3, 3),
+                            stress=s, virial=-s * 1000.0))
+    write_extxyz(os.path.join(root, 'raw', 's.xyz'), frames)
+    back = read_extxyz(os.path.join(root, 'raw', 's.xyz'))
+    np.testing.assert_allclose(back[1].stress, frames[1].stress, atol=1e-9)
+    np.testing.assert_allclose(back[1].virial, frames[1].virial, rtol=1e-9)
+
+    # kcal/mol energy unit: stress scales by the energy factor / Ang^3
+    ds = MolecularInMemoryDataset(root=root, data_energy_unit='kcal/mol')
+    k = _u('kcal/mol')
+    np.testing.assert_allclose(ds[2]['stress'], frames[2].stress * k,
+                               rtol=1e-6)
+    np.testing.assert_allclose(ds[2]['virial'], frames[2].virial * k,
+                               rtol=1e-6)
+
+    batch = collate([ds[i] for i in range(3)], n_pad=8, batch_pad=4)
+    assert batch['stress'].shape == (4, 3, 3)
+    np.testing.assert_allclose(batch['virial'][1], frames[1].virial * k,
+                               rtol=1e-6)
+    # Voigt-6 form parses too
+    from newtonnet_tpu.data.xyz import _parse_3x3
+    v = _parse_3x3('1 2 3 4 5 6')
+    np.testing.assert_allclose(v, [[1, 6, 5], [6, 2, 4], [5, 4, 3]])
+
+    # on-disk per-frame variant carries the labels as well
+    root2 = os.path.join(tmp_path, 's2')
+    os.makedirs(os.path.join(root2, 'raw'))
+    write_extxyz(os.path.join(root2, 'raw', 's.xyz'), frames)
+    ds2 = MolecularDataset(root=root2)
+    np.testing.assert_allclose(ds2[3]['stress'], frames[3].stress,
+                               rtol=1e-6, atol=1e-8)

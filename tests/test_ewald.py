@@ -336,3 +336,62 @@ def test_bec_with_precomputed_newton3_lists(rng):
                                np.asarray(out_d['charge']), atol=1e-11)
     np.testing.assert_allclose(np.asarray(out_3['bec']),
                                np.asarray(out_d['bec']), atol=1e-9)
+
+
+def test_sharded_ewald_matches_unsharded():
+    '''ewald_energy_periodic_sharded: per-shard local contributions psum to
+    the unsharded reciprocal sum EXACTLY, and the per-shard gradients wrt
+    charge, positions, AND cell (the stress path) sum to the unsharded
+    gradients -- on orthorhombic and skewed cells with padding atoms.'''
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from newtonnet_tpu.ops.ewald import (ewald_energy_periodic,
+                                         ewald_energy_periodic_sharded)
+    from newtonnet_tpu.parallel import make_mesh
+
+    B, N, S = 2, 16, 4
+    rs = np.random.RandomState(0)
+    q = rs.randn(B, N)
+    pos = rs.rand(B, N, 3) * 8.0
+    cell = np.broadcast_to(np.eye(3) * 8.0, (B, 3, 3)).copy()
+    cell[1, 0, 1] = 1.3  # skewed
+    mask = np.ones((B, N), bool)
+    mask[0, -2:] = False
+    q = q * mask
+    mesh = make_mesh(data=1, graph=S)
+
+    def local_fn(q, pos, cell, mask):
+        # (B,) per shard -> (B, S) stacked so out_specs can shard it
+        return ewald_energy_periodic_sharded(
+            q, pos, cell, mask, 'graph', sigma=1.0, n_k=4)[:, None]
+
+    sharded = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, 'graph'), P(None, 'graph', None), P(None),
+                  P(None, 'graph')),
+        out_specs=P(None, 'graph'), check_vma=False)
+
+    args = tuple(jnp.asarray(x) for x in (q, pos, cell, mask))
+    e_sh = np.asarray(sharded(*args)).sum(axis=1)
+    e_ref = np.asarray(ewald_energy_periodic(*args, sigma=1.0, n_k=4))
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-12)
+
+    def tot_sh(q, pos, cell):
+        return jnp.sum(sharded(q, pos, cell, args[3]))
+
+    def tot_ref(q, pos, cell):
+        return jnp.sum(ewald_energy_periodic(q, pos, cell, args[3],
+                                             sigma=1.0, n_k=4))
+
+    g_sh = jax.grad(tot_sh, argnums=(0, 1, 2))(*args[:3])
+    g_ref = jax.grad(tot_ref, argnums=(0, 1, 2))(*args[:3])
+    for a, b in zip(g_sh, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-13)

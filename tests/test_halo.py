@@ -338,3 +338,182 @@ def test_trainer_halo_mode_matches_standard(rng):
         Trainer(model=nl_model, params=params,
                 loss_fns=get_loss_by_string({'energy': {'mode': 'mae'}}),
                 mesh=mesh, halo={'n_halo': n_halo})
+
+
+def _ref_train_step(dense, params, tx, jb, weights):
+    '''Single-device reference step with the exact loss semantics of
+    make_halo_grads_fn's generalized config (masked mse battery).'''
+    import optax
+
+    def ref_loss(p):
+        out = dense.apply(p, jb['z'], jb['pos'], jb['cell'])
+        gmask = jb['graph_mask'].astype(jb['pos'].dtype)
+        amask = ((jb['z'] > 0) & jb['graph_mask'][:, None]).astype(
+            jb['pos'].dtype)[..., None]
+        loss = 0.0
+        if 'energy' in weights:
+            e_err = (out['energy'] - jb['energy']) * gmask
+            loss += weights['energy'] * jnp.sum(e_err ** 2) / jnp.sum(gmask)
+        if 'gradient_force' in weights:
+            f_err = (out['gradient_force'] - jb['force']) * amask
+            loss += weights['gradient_force'] * jnp.sum(f_err ** 2) \
+                / (3 * jnp.sum(amask))
+        for key in ('stress', 'virial'):
+            if key in weights:
+                t_err = (out[key] - jb[key]) * gmask[:, None, None]
+                loss += weights[key] * jnp.sum(t_err ** 2) \
+                    / (9 * jnp.sum(gmask))
+        return loss
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
+    updates, _ = tx.update(grads_ref, tx.init(params), params)
+    import optax as _optax
+    return loss_ref, _optax.apply_updates(params, updates)
+
+
+def test_halo_stress_training_parity(rng):
+    '''A halo train step with the generalized loss config (energy + force
+    + STRESS mse -- cell-labelled condensed-phase training) matches the
+    single-device step: loss, metrics, and updated params.'''
+    import optax
+
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=11, periodic=True)
+    rs = np.random.RandomState(12)
+    batch['stress'] = rs.randn(B, 3, 3) * 1e-2
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force',
+                                         'stress'])
+    params = _params_for(dense, batch, rng)
+    tx = optax.adam(1e-3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    weights = {'energy': 1.0, 'gradient_force': 50.0, 'stress': 100.0}
+    loss_ref, params_ref = _ref_train_step(dense, params, tx, jb, weights)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    step = make_halo_train_step(
+        nl_model, tx, mesh, n_halo,
+        loss_config={k: {'weight': v} for k, v in weights.items()})
+    sb = shard_halo_batch(jb, mesh)
+    params_halo, _, metrics = step(
+        jax.tree.map(jnp.array, params), tx.init(params), sb)
+
+    np.testing.assert_allclose(float(metrics['loss']), float(loss_ref),
+                               rtol=1e-8)
+    assert 'stress_mae' in metrics and np.isfinite(float(metrics['stress_mae']))
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(params_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=1e-7)
+
+
+def test_halo_virial_training_parity(rng):
+    '''Same as the stress case for the virial label (-disp_grad, no 1/V).'''
+    import optax
+
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=21, periodic=True)
+    rs = np.random.RandomState(22)
+    batch['virial'] = rs.randn(B, 3, 3)
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'virial'])
+    params = _params_for(dense, batch, rng)
+    tx = optax.adam(1e-3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    weights = {'energy': 1.0, 'virial': 10.0}
+    loss_ref, params_ref = _ref_train_step(dense, params, tx, jb, weights)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24, output_properties=['energy'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    step = make_halo_train_step(
+        nl_model, tx, mesh, n_halo,
+        loss_config={k: {'weight': v} for k, v in weights.items()})
+    sb = shard_halo_batch(jb, mesh)
+    params_halo, _, metrics = step(
+        jax.tree.map(jnp.array, params), tx.init(params), sb)
+
+    np.testing.assert_allclose(float(metrics['loss']), float(loss_ref),
+                               rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(params_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=1e-7)
+
+
+def test_halo_charge_ewald_training_parity(rng):
+    '''A halo train step on a charge-head model (latent Ewald long-range
+    energy, reciprocal sum sharded via partial structure factors) matches
+    the single-device step.'''
+    import optax
+
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=31, periodic=True)
+
+    ewald = dict(ewald_mode='periodic', ewald_sigma=1.5, ewald_n_k=4)
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['charge', 'energy',
+                                         'gradient_force'], **ewald)
+    params = _params_for(dense, batch, rng)
+    tx = optax.adam(1e-3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    weights = {'energy': 1.0, 'gradient_force': 50.0}
+    loss_ref, params_ref = _ref_train_step(dense, params, tx, jb, weights)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['charge', 'energy',
+                                            'gradient_force'], **ewald)
+    mesh = make_mesh(data=2, graph=n_shards)
+    step = make_halo_train_step(
+        nl_model, tx, mesh, n_halo,
+        loss_config={k: {'weight': v} for k, v in weights.items()})
+    sb = shard_halo_batch(jb, mesh)
+    params_halo, _, metrics = step(
+        jax.tree.map(jnp.array, params), tx.init(params), sb)
+
+    np.testing.assert_allclose(float(metrics['loss']), float(loss_ref),
+                               rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(params_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=1e-7)
+
+
+def test_halo_charge_requires_periodic_ewald():
+    import optax
+    model = NewtonNet(graph_mode='neighborlist', k_max=8, n_features=8,
+                      n_basis=4, n_interactions=1,
+                      output_properties=['charge', 'energy'])  # mode 'auto'
+    with pytest.raises(ValueError, match="ewald_mode='periodic'"):
+        make_halo_train_step(model, optax.adam(1e-3),
+                             make_mesh(data=2, graph=4), n_halo=4,
+                             loss_config={'energy': {}})
+
+
+def test_halo_loss_config_guards():
+    import optax
+    model = NewtonNet(graph_mode='neighborlist', k_max=8, n_features=8,
+                      n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    mesh = make_mesh(data=2, graph=4)
+    with pytest.raises(ValueError, match='losses within'):
+        make_halo_train_step(model, optax.adam(1e-3), mesh, n_halo=4,
+                             loss_config={'hessian': {}})
+    with pytest.raises(ValueError, match='mse-only'):
+        make_halo_train_step(model, optax.adam(1e-3), mesh, n_halo=4,
+                             loss_config={'energy': {'mode': 'mae'}})

@@ -264,3 +264,55 @@ def test_dp_trainer_scan_chunk_matches_single_device(rng):
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_dp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_stress_loss_single_device(rng):
+    '''The generalized loss config trains a stress head on one device:
+    get_loss_by_string accepts stress/virial, the eval battery reports
+    them, and a few Adam steps descend.'''
+    import optax
+
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import get_loss_by_string
+
+    rs = np.random.RandomState(0)
+    B, N = 4, 10
+    z = rs.choice([1, 6, 8], size=(B, N)).astype(np.int32)
+    pos = rs.rand(B, N, 3) * 6.0
+    cell = np.broadcast_to(np.eye(3) * 6.0, (B, 3, 3)).astype(float)
+    batch = {'z': jnp.asarray(z), 'pos': jnp.asarray(pos),
+             'cell': jnp.asarray(cell),
+             'energy': jnp.asarray(rs.randn(B)),
+             'force': jnp.asarray(rs.randn(B, N, 3)),
+             'stress': jnp.asarray(rs.randn(B, 3, 3) * 1e-2),
+             'graph_mask': jnp.ones(B, bool)}
+    model = NewtonNet(cutoff=3.0, n_features=16, n_basis=4,
+                      n_interactions=1,
+                      output_properties=['energy', 'gradient_force',
+                                         'stress'])
+    params = model.init(rng, batch['z'], batch['pos'], batch['cell'])
+    main_loss, eval_loss = get_loss_by_string(
+        {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 10.0},
+         'stress': {'weight': 100.0}})
+
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            preds = model.apply(p, batch['z'], batch['pos'], batch['cell'])
+            return main_loss(preds, batch), preds
+        (loss, preds), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, preds
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss, preds = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    battery = eval_loss(preds, batch)
+    assert np.isfinite(float(battery['stress_mae']))
+    assert np.isfinite(float(battery['stress_mse']))
