@@ -10,6 +10,14 @@ no hand-written halo bookkeeping, exact to the single-device result.
 
 Combines with the 'data' axis for DP x GP meshes: batch sharded over
 'data', atoms over 'graph'.
+
+STATUS: the small-molecule (dense-graph) fallback. For every large-system
+use case the blueprint targets, parallel/halo.py supersedes this path --
+it moves only boundary blocks (O(n_halo)) per layer instead of
+all-gathering the full atom axis (O(N)), supports training/MD/stress/
+charge heads, and is what the Trainer's halo mode and the CLI use. Keep
+this module for dense-mode models whose atoms cannot be spatially sorted
+(inference only, memory-bound single molecules too big for one chip).
 '''
 
 

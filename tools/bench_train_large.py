@@ -68,18 +68,34 @@ def main(n_atoms=4096, *modes):
     main_loss, _ = get_loss_by_string(
         {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
 
-    def step_time(model, nlist):
+    def step_time(model, nlist, use_fastgrad=False):
         params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
                             batch['cell'])
         tx = optax.adam(1e-3)
         opt = tx.init(params)
 
-        @jax.jit
-        def step(p, o):
-            loss, grads, _ = fastgrad.value_and_grad(
-                model, main_loss, p, batch, nlist=nlist)
-            updates, o = tx.update(grads, o, p)
-            return optax.apply_updates(p, updates), o, loss
+        # default: standard reverse-over-reverse -- measured FASTER than
+        # the fastgrad restructure on the XLA neighborlist path (60 vs
+        # 68 ms at N=4096/k44, tools/ablate_train_large.py; fastgrad's
+        # reverse-over-forward wins only where the fused Pallas kernels
+        # carry it, kernel='pallas'). Pallas-kernel models require it.
+        if use_fastgrad or getattr(model, 'kernel', 'xla') == 'pallas':
+            @jax.jit
+            def step(p, o):
+                loss, grads, _ = fastgrad.value_and_grad(
+                    model, main_loss, p, batch, nlist=nlist)
+                updates, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o, loss
+        else:
+            @jax.jit
+            def step(p, o):
+                def loss_fn(pp):
+                    preds = model.apply(pp, batch['z'], batch['pos'],
+                                        batch['cell'], nlist=nlist)
+                    return main_loss(preds, batch)
+                loss, grads = jax.value_and_grad(loss_fn)(p)
+                updates, o = tx.update(grads, o, p)
+                return optax.apply_updates(p, updates), o, loss
 
         params, opt, loss = step(params, opt)
         _ = float(loss)
@@ -102,8 +118,11 @@ def main(n_atoms=4096, *modes):
             idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 80)
             nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
         elif mode == 'newton3':
-            model = NewtonNet(k_max=44, newton3=True, **common)
-            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 44,
+            # k_max=40 is the exact Konig slot bound for this box (the
+            # coloring construction hits max(out,in)-degree exactly);
+            # frame_neighbor_lists raises if a frame ever needs more
+            model = NewtonNet(k_max=40, newton3=True, **common)
+            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 40,
                                           mode='newton3')
             idxj, mj = jnp.asarray(idx[None]), jnp.asarray(m[None])
             inv, invm = build_inverse_list(jnp.swapaxes(idxj, 1, 2),
