@@ -84,14 +84,30 @@ class NewtonNet:
         if kernel == 'pallas':
             allowed = {'energy', 'gradient_force', 'virial', 'stress'}
             bad = set(output_properties) - allowed
-            if (bad or graph_mode != 'dense' or activation != 'swish'
-                    or layer_norm or compute_dtype or trainable_basis):
+            if (bad or graph_mode not in ('dense', 'neighborlist')
+                    or activation != 'swish' or layer_norm
+                    or trainable_basis):
                 raise ValueError(
-                    'kernel=pallas supports the dense graph mode with swish '
-                    'activation, no layer_norm/compute_dtype/'
+                    'kernel=pallas supports the dense/neighborlist graph '
+                    'modes with swish activation, no layer_norm/'
                     'trainable_basis, and outputs '
                     f'within {sorted(allowed)}; offending config: '
                     f'{sorted(bad) or [graph_mode, activation]}')
+            if graph_mode == 'dense' and compute_dtype:
+                raise ValueError(
+                    'kernel=pallas (dense) does not take compute_dtype '
+                    '(the fused kernels manage precision internally)')
+            if graph_mode == 'neighborlist':
+                if newton3 or reverse_lists or inverse_lists:
+                    raise ValueError(
+                        'kernel=pallas neighborlist uses plain full lists '
+                        '(newton3/reverse_lists/inverse_lists unsupported: '
+                        'aggregation happens inside the fused kernel)')
+                if k_max % 8:
+                    raise ValueError(
+                        f'kernel=pallas neighborlist needs k_max % 8 == 0 '
+                        f'(got {k_max}): dir/mask kernel blocks put K '
+                        'second-to-minor')
         self.output_properties = list(output_properties)
         self.cutoff = cutoff
         self.n_features = n_features
@@ -178,7 +194,11 @@ class NewtonNet:
         sym = 0.5 * (displacement + jnp.swapaxes(displacement, -1, -2))
         pos_d = jnp.einsum('bni,bij->bnj', pos, sym)
         cell_d = jnp.einsum('bxi,bij->bxj', cell, sym)
-        if self.kernel == 'pallas':
+        if self.kernel == 'pallas' and self.graph_mode == 'neighborlist':
+            from newtonnet_tpu.models.pallas_klist import apply_core_nlist
+            out = apply_core_nlist(params, self, z, pos_d, cell_d,
+                                   nlist=nlist)
+        elif self.kernel == 'pallas':
             from newtonnet_tpu.models.pallas_stack import apply_core
             out = apply_core(params, self, z, pos_d, cell_d)
         else:

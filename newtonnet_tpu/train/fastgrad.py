@@ -67,11 +67,19 @@ def value_and_grad(model, main_loss, params, batch, nlist=None):
     if getattr(model, 'kernel', 'xla') == 'pallas':
         # fused-kernel dual forward (jax.jvp cannot pierce the custom-VJP
         # pallas ops; the hand-written dual stack is that jvp)
-        from newtonnet_tpu.models.pallas_stack import dual_energy
+        if model.graph_mode == 'neighborlist':
+            from newtonnet_tpu.models.pallas_klist import dual_energy_nlist
 
-        def surrogate(p):
-            evec, tangent = dual_energy(p, model, z, pos, cell, v)
-            return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
+            def surrogate(p):
+                evec, tangent = dual_energy_nlist(p, model, z, pos, cell, v,
+                                                  nlist=nlist)
+                return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
+        else:
+            from newtonnet_tpu.models.pallas_stack import dual_energy
+
+            def surrogate(p):
+                evec, tangent = dual_energy(p, model, z, pos, cell, v)
+                return jnp.vdot(e_bar, evec) + jnp.sum(tangent)
     else:
         def surrogate(p):
             # e_bar . E + dL/dF . F  ==  e_bar . E + D_v E  with v = -f_bar

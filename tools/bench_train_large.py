@@ -117,6 +117,13 @@ def main(n_atoms=4096, *modes):
             model = NewtonNet(k_max=80, **common)
             idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 80)
             nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
+        elif mode == 'pallas':
+            # fused K-list kernels (ops/pallas_klist.py): the whole pair
+            # chain VMEM-resident; k_max=88 = full-list capacity 84 rounded
+            # to the kernels' K % 8 == 0 block constraint
+            model = NewtonNet(k_max=88, kernel='pallas', **common)
+            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 88)
+            nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
         elif mode == 'newton3':
             # k_max=40 is the exact Konig slot bound for this box (the
             # coloring construction hits max(out,in)-degree exactly);
