@@ -103,11 +103,6 @@ class NewtonNet:
                         'kernel=pallas neighborlist uses plain full lists '
                         '(newton3/reverse_lists/inverse_lists unsupported: '
                         'aggregation happens inside the fused kernel)')
-                if k_max % 8:
-                    raise ValueError(
-                        f'kernel=pallas neighborlist needs k_max % 8 == 0 '
-                        f'(got {k_max}): dir/mask kernel blocks put K '
-                        'second-to-minor')
         self.output_properties = list(output_properties)
         self.cutoff = cutoff
         self.n_features = n_features

@@ -5,7 +5,7 @@ InteractionNet) numerically -- same parameter pytree, same math, same
 masking -- but routes every pair-tensor operation through the fused
 VMEM-resident kernels in ops/pallas_klist.py. The neighbor gathers stay in
 XLA (Mosaic cannot do cross-tile gathers; ops/pallas_gather.py documents
-the probe), so per layer HBM sees exactly ONE gathered (B, K, N, 4F) edge
+the probe), so per layer HBM sees exactly ONE gathered (B, N, K, 4F) edge
 tensor plus (N, *)-sized node tensors -- instead of the dozens of pair
 materializations of the auto-differentiated XLA program (PERF_NOTES.md
 "Round-3 large-N train-step study": the step is pure HBM traffic).
@@ -66,31 +66,25 @@ def _resolve_nlist(model, z, pos, cell, nlist):
         idx, kmask, _, _ = neighbor_list(pos, cell, z > 0, model.cutoff,
                                          model.k_max,
                                          mic_mode=model.mic_mode)
-    pad = -idx.shape[-1] % 8  # K sits second-to-minor in dir/mask blocks
-    if pad:
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
-        kmask = jnp.pad(kmask, ((0, 0), (0, 0), (0, pad)))
     return idx, kmask
 
 
 def _geometry(model, z, pos, cell, idx, kmask):
     '''Static mask (stale pairs tightened at current pos, as the XLA path
     does at newtonnet.py:541-543) and the pos-differentiable edge features
-    in the kernels' K-major layout.'''
+    in the kernels' N-major (B, N, K, ...) layout.'''
 
     def feats(x):
         disp = recompute_displacements(x, cell, idx,
                                        mic_mode=model.mic_mode)  # (B,N,K,3)
         dist, dir_edge = scaled_norm(disp, model.cutoff)
         rbf = polynomial_cutoff(dist) * radial_bessel(dist, model.n_basis)
-        return (jnp.transpose(dir_edge, (0, 3, 2, 1)),   # (B, 3, K, N)
-                jnp.swapaxes(rbf, 1, 2))                 # (B, K, N, R)
+        return jnp.moveaxis(dir_edge, -1, 1), rbf  # (B,3,N,K), (B,N,K,R)
 
     disp0 = recompute_displacements(pos, cell, idx, mic_mode=model.mic_mode)
     d2 = jnp.sum(disp0 * disp0, axis=-1)
     m = kmask & (d2 < model.cutoff * model.cutoff)
-    mask_kn = jnp.swapaxes(m, 1, 2).astype(jnp.float32)  # (B, K, N)
-    return mask_kn, feats
+    return m.astype(jnp.float32), feats  # (B, N, K)
 
 
 def _kernels(model, n, dual):
@@ -124,8 +118,7 @@ def apply_core_nlist(params, model, z, pos, cell, nlist=None):
     fused_first, fused_rest = _kernels(model, N, dual=False)
 
     idx, kmask = _resolve_nlist(model, z, pos, cell, nlist)
-    idx_kn = jnp.swapaxes(idx, 1, 2)                     # (B, K, N)
-    mask_kn, feats = _geometry(model, z, pos, cell, idx, kmask)
+    mask_f, feats = _geometry(model, z, pos, cell, idx, kmask)
     dir_t, rbf = feats(pos)
     dir_t = dir_t.astype(jnp.float32)
     rbf = rbf.astype(edt)
@@ -138,14 +131,14 @@ def apply_core_nlist(params, model, z, pos, cell, nlist=None):
         lp = p[f'interaction_{i}']
         np_, _ = _mlp2_dual(lp['message_nodepart'], atom_node, None)
         if i == 0:
-            cat_j = gather_nodes(np_.astype(edt), idx_kn)   # (B, K, N, F)
-            inv1, eq = fused_first(np_, cat_j, rbf, dir_t, mask_kn,
+            cat_j = gather_nodes(np_.astype(edt), idx)   # (B, N, K, F)
+            inv1, eq = fused_first(np_, cat_j, rbf, dir_t, mask_f,
                                    *_layer_weights(lp))
         else:
             cat = jnp.concatenate(
                 [np_] + [force_t[:, d] for d in range(3)], axis=-1)
-            cat_j = gather_nodes(cat.astype(edt), idx_kn)   # (B, K, N, 4F)
-            inv1, eq = fused_rest(np_, cat_j, rbf, dir_t, mask_kn,
+            cat_j = gather_nodes(cat.astype(edt), idx)   # (B, N, K, 4F)
+            inv1, eq = fused_rest(np_, cat_j, rbf, dir_t, mask_f,
                                   *_layer_weights(lp))
         atom_node = atom_node + inv1
         force_t = force_t + eq
@@ -173,8 +166,7 @@ def dual_energy_nlist(params, model, z, pos, cell, v, nlist=None):
     dual_first, dual_rest = _kernels(model, N, dual=True)
 
     idx, kmask = _resolve_nlist(model, z, pos, cell, nlist)
-    idx_kn = jnp.swapaxes(idx, 1, 2)
-    mask_kn, feats = _geometry(model, z, pos, cell, idx, kmask)
+    mask_f, feats = _geometry(model, z, pos, cell, idx, kmask)
     (dir_t, rbf), (dirdot_t, rbfdot) = jax.jvp(feats, (pos,), (v,))
     dir_t = dir_t.astype(jnp.float32)
     dirdot_t = dirdot_t.astype(jnp.float32)
@@ -191,21 +183,21 @@ def dual_energy_nlist(params, model, z, pos, cell, v, nlist=None):
         lp = p[f'interaction_{i}']
         np_, npdot = _mlp2_dual(lp['message_nodepart'], atom_node, atomdot)
         if i == 0:
-            cat_j = gather_nodes(np_.astype(edt), idx_kn)
-            catdot_j = gather_nodes(npdot.astype(edt), idx_kn)
+            cat_j = gather_nodes(np_.astype(edt), idx)
+            catdot_j = gather_nodes(npdot.astype(edt), idx)
             inv1, eq, inv1dot, eqdot = dual_first(
                 np_, npdot, cat_j, catdot_j, rbf, rbfdot, dir_t, dirdot_t,
-                mask_kn, *_layer_weights(lp))
+                mask_f, *_layer_weights(lp))
         else:
             cat = jnp.concatenate(
                 [np_] + [force_t[:, d] for d in range(3)], axis=-1)
             catdot = jnp.concatenate(
                 [npdot] + [forcedot_t[:, d] for d in range(3)], axis=-1)
-            cat_j = gather_nodes(cat.astype(edt), idx_kn)
-            catdot_j = gather_nodes(catdot.astype(edt), idx_kn)
+            cat_j = gather_nodes(cat.astype(edt), idx)
+            catdot_j = gather_nodes(catdot.astype(edt), idx)
             inv1, eq, inv1dot, eqdot = dual_rest(
                 np_, npdot, cat_j, catdot_j, rbf, rbfdot, dir_t, dirdot_t,
-                mask_kn, *_layer_weights(lp))
+                mask_f, *_layer_weights(lp))
         atom_node = atom_node + inv1
         atomdot = atomdot + inv1dot
         force_t = force_t + eq

@@ -1,32 +1,34 @@
-'''Pallas TPU kernels: fused K-major pair-interaction layer (large-N path).
+'''Pallas TPU kernels: fused pair-interaction layer over neighbor lists
+(the large-N path).
 
 The neighborlist (large-N) train step is pure HBM traffic: XLA cost
 analysis of the N=4096 newton3 step reports 374 GFLOP against ~50 GB of
 bytes accessed (PERF_NOTES.md "Round-3 large-N train-step study") -- the
-fwd+rev+outer-rev program materializes dozens of (K, N, F) pair tensors.
+fwd+rev+outer-rev program materializes dozens of (N, K, F) pair tensors.
 These kernels keep the whole per-edge message/phi chain VMEM-resident per
-atom tile: HBM sees only the gathered neighbor features (one (K, N, 4F)
+atom tile: HBM sees only the gathered neighbor features (one (N, K, 4F)
 tensor per layer, produced by a plain XLA gather outside the kernel,
 because Mosaic rejects in-kernel cross-tile gathers -- see
 ops/pallas_gather.py), the geometry tensors, and (N, *)-sized node
 outputs.
 
-Layout (all K-major, matching NeighborEdges kmajor=True):
+Layout (N-major; every block carries the FULL K so the Mosaic last-two-
+dims rule is satisfied by "equal to the overall array dimension"):
     npart_i (B, N, F)       tile-resident invariant node part
-    cat_j   (B, K, N, C)    gathered neighbor features; C = F (first
+    cat_j   (B, N, K, C)    gathered neighbor features; C = F (first
                             layer) or 4F ([nodepart | force_x|y|z])
-    rbf     (B, K, N, R)
-    dir     (B, 3, K, N)    Cartesian axis LEADING (Mosaic cannot slice a
-                            width-3 minor dim), K second-to-minor => the
-                            kernels require K % 8 == 0
-    mask    (B, K, N)       float edge mask
+    rbf     (B, N, K, R)
+    dir     (B, 3, N, K)    Cartesian axis LEADING (Mosaic cannot slice a
+                            width-3 minor dim)
+    mask    (B, N, K)       float edge mask
 
-Grid = (B, N // nb): atoms are tiled along N; reductions over K run
-entirely in VMEM. Weight cotangents accumulate across the sequential grid.
+Grid = (B, N // nb) with nb % 8 == 0: atoms are tiled along N; reductions
+over K run entirely in VMEM. Weight cotangents accumulate across the
+sequential grid.
 
 Computation per layer (InteractionNet, models/newtonnet.py:193-311;
 reference hot loop /root/reference/newtonnet/models/newtonnet.py:207-237):
-    msg  = (rbf @ We) * np_i * np_j * mask          (K, N, F)
+    msg  = (rbf @ We) * np_i * np_j * mask          (N, K, F)
     inv1 = sum_k msg                                (N, F)
     phi1 = (silu(msg @ W1a) @ W1b) * mask
     phi2 = (silu(msg @ W2a) @ W2b) * mask
@@ -48,7 +50,7 @@ ops/pallas_dense.py):
 Inputs may arrive in bfloat16 (cat_j / rbf edge tensors at half HBM
 traffic); elementwise math runs in fp32 in VMEM, MXU passes in dot_dtype
 (bf16 by default here -- at K~88 the matmuls are no longer negligible),
-and per-edge cotangant outputs are emitted in the input dtype.
+and per-edge cotangent outputs are emitted in the input dtype.
 '''
 import functools
 
@@ -105,22 +107,22 @@ def _mk_dotT(dot_dtype):
 
 def _chain(npi, cat, rbf_flat, mask3, w, dot, with_force):
     '''Shared forward chain in fp32. Returns every intermediate the
-    backward needs. Shapes: npi (nb, F); cat (K, nb, C); mask3 (K, nb, 1).
+    backward needs. Shapes: npi (nb, F); cat (nb, K, C); mask3 (nb, K, 1).
     '''
     we, w1a, w1b, w2a, w2b = w
-    k, nb = cat.shape[0], cat.shape[1]
+    nb, k = cat.shape[0], cat.shape[1]
     f = npi.shape[-1]
     npj = _f32(cat[..., :f])
-    me = dot(rbf_flat, we).reshape(k, nb, f)
-    msg = me * npi[None] * npj * mask3
-    msg2 = msg.reshape(k * nb, f)
+    me = dot(rbf_flat, we).reshape(nb, k, f)
+    msg = me * npi[:, None] * npj * mask3
+    msg2 = msg.reshape(nb * k, f)
     p1 = dot(msg2, w1a)
     h1 = _silu(p1)
-    phi1 = dot(h1, w1b).reshape(k, nb, f) * mask3
+    phi1 = dot(h1, w1b).reshape(nb, k, f) * mask3
     if with_force:
         p2 = dot(msg2, w2a)
         h2 = _silu(p2)
-        phi2 = dot(h2, w2b).reshape(k, nb, f) * mask3
+        phi2 = dot(h2, w2b).reshape(nb, k, f) * mask3
     else:
         p2 = h2 = phi2 = None
     return npj, me, msg, msg2, p1, h1, phi1, p2, h2, phi2
@@ -129,24 +131,24 @@ def _chain(npi, cat, rbf_flat, mask3, w, dot, with_force):
 def _fwd_kernel(npi_ref, cat_ref, rbf_ref, dir_ref, mask_ref,
                 we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
                 inv1_ref, eq_ref, *, dot_dtype, with_force):
-    _, k, nb, r = rbf_ref.shape
+    _, nb, k, r = rbf_ref.shape
     f = npi_ref.shape[-1]
     dot = _mk_dot(dot_dtype)
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
     npi = _f32(npi_ref[0])
     cat = cat_ref[0]
     mask3 = _f32(mask_ref[0])[..., None]
-    rbf_flat = _f32(rbf_ref[0]).reshape(k * nb, r)
+    rbf_flat = _f32(rbf_ref[0]).reshape(nb * k, r)
     _, _, msg, _, _, _, phi1, _, _, phi2 = _chain(
         npi, cat, rbf_flat, mask3, w, dot, with_force)
 
-    inv1_ref[0] = jnp.sum(msg, axis=0)
+    inv1_ref[0] = jnp.sum(msg, axis=1)
     for d in range(3):
-        dird = _f32(dir_ref[0, d])[..., None]          # (K, nb, 1)
-        e = jnp.sum(phi1 * dird, axis=0)               # (nb, F)
+        dird = _f32(dir_ref[0, d])[..., None]          # (nb, K, 1)
+        e = jnp.sum(phi1 * dird, axis=1)               # (nb, F)
         if with_force:
             fj = _f32(cat[..., (d + 1) * f:(d + 2) * f])
-            e = e + jnp.sum(phi2 * fj, axis=0)
+            e = e + jnp.sum(phi2 * fj, axis=1)
         eq_ref[0, d] = e
 
 
@@ -156,7 +158,7 @@ def _bwd_kernel(npi_ref, cat_ref, rbf_ref, dir_ref, mask_ref,
                 dnpi_ref, dcat_ref, drbf_ref, ddir_ref,
                 dwe_ref, dw1a_ref, dw1b_ref, dw2a_ref, dw2b_ref, *,
                 dot_dtype, with_force):
-    _, k, nb, r = rbf_ref.shape
+    _, nb, k, r = rbf_ref.shape
     f = npi_ref.shape[-1]
     dot = _mk_dot(dot_dtype)
     dotT = _mk_dotT(dot_dtype)
@@ -165,14 +167,14 @@ def _bwd_kernel(npi_ref, cat_ref, rbf_ref, dir_ref, mask_ref,
     npi = _f32(npi_ref[0])
     cat = cat_ref[0]
     mask3 = _f32(mask_ref[0])[..., None]
-    rbf_flat = _f32(rbf_ref[0]).reshape(k * nb, r)
+    rbf_flat = _f32(rbf_ref[0]).reshape(nb * k, r)
     npj, me, msg, msg2, p1, h1, phi1, p2, h2, phi2 = _chain(
         npi, cat, rbf_flat, mask3, w, dot, with_force)
 
-    dphi1 = jnp.zeros((k, nb, f), jnp.float32)
-    dphi2 = jnp.zeros((k, nb, f), jnp.float32) if with_force else None
+    dphi1 = jnp.zeros((nb, k, f), jnp.float32)
+    dphi2 = jnp.zeros((nb, k, f), jnp.float32) if with_force else None
     for d in range(3):
-        g = _f32(deq_ref[0, d])[None]                  # (1, nb, F)
+        g = _f32(deq_ref[0, d])[:, None]               # (nb, 1, F)
         dird = _f32(dir_ref[0, d])[..., None]
         dphi1 = dphi1 + g * dird
         ddir_ref[0, d] = jnp.sum(phi1 * g, axis=-1).astype(ddir_ref.dtype)
@@ -182,21 +184,21 @@ def _bwd_kernel(npi_ref, cat_ref, rbf_ref, dir_ref, mask_ref,
             dcat_ref[0, :, :, (d + 1) * f:(d + 2) * f] = \
                 (phi2 * g).astype(dcat_ref.dtype)
 
-    dphi1 = (dphi1 * mask3).reshape(k * nb, f)
+    dphi1 = (dphi1 * mask3).reshape(nb * k, f)
     dh1 = dot(dphi1, w1b.T)
     dp1 = dh1 * _dsilu(p1)
     dmsg = dot(dp1, w1a.T)
     if with_force:
-        dphi2 = (dphi2 * mask3).reshape(k * nb, f)
+        dphi2 = (dphi2 * mask3).reshape(nb * k, f)
         dh2 = dot(dphi2, w2b.T)
         dp2 = dh2 * _dsilu(p2)
         dmsg = dmsg + dot(dp2, w2a.T)
-    dmsg3 = (dmsg.reshape(k, nb, f) + _f32(dinv1_ref[0])[None]) * mask3
+    dmsg3 = (dmsg.reshape(nb, k, f) + _f32(dinv1_ref[0])[:, None]) * mask3
 
-    dnpi_ref[0] = jnp.sum(dmsg3 * me * npj, axis=0).astype(dnpi_ref.dtype)
-    dcat_ref[0, :, :, :f] = (dmsg3 * me * npi[None]).astype(dcat_ref.dtype)
-    dme = (dmsg3 * npi[None] * npj).reshape(k * nb, f)
-    drbf_ref[0] = dot(dme, we.T).reshape(k, nb, r).astype(drbf_ref.dtype)
+    dnpi_ref[0] = jnp.sum(dmsg3 * me * npj, axis=1).astype(dnpi_ref.dtype)
+    dcat_ref[0, :, :, :f] = (dmsg3 * me * npi[:, None]).astype(dcat_ref.dtype)
+    dme = (dmsg3 * npi[:, None] * npj).reshape(nb * k, f)
+    drbf_ref[0] = dot(dme, we.T).reshape(nb, k, r).astype(drbf_ref.dtype)
 
     # weight cotangents, accumulated across the sequential (B, N//nb) grid
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -221,26 +223,26 @@ def _dual_chain(npi, npidot, cat, catdot, rbf_flat, rbfdot_flat, mask3, w,
     '''Primal + tangent pair chain (weights carry no tangent -- the dual
     pass propagates a position tangent; see train/fastgrad.py).'''
     we, w1a, w1b, w2a, w2b = w
-    k, nb = cat.shape[0], cat.shape[1]
+    nb, k = cat.shape[0], cat.shape[1]
     f = npi.shape[-1]
     npj = _f32(cat[..., :f])
     npjdot = _f32(catdot[..., :f])
-    me = dot(rbf_flat, we).reshape(k, nb, f)
-    medot = dot(rbfdot_flat, we).reshape(k, nb, f)
-    ai = npi[None]
-    aidot = npidot[None]
+    me = dot(rbf_flat, we).reshape(nb, k, f)
+    medot = dot(rbfdot_flat, we).reshape(nb, k, f)
+    ai = npi[:, None]
+    aidot = npidot[:, None]
     msg = me * ai * npj * mask3
     msgdot = (medot * ai * npj + me * aidot * npj + me * ai * npjdot) * mask3
-    msg2 = msg.reshape(k * nb, f)
-    msgdot2 = msgdot.reshape(k * nb, f)
+    msg2 = msg.reshape(nb * k, f)
+    msgdot2 = msgdot.reshape(nb * k, f)
 
     def branch(w_a, w_b):
         p = dot(msg2, w_a)
         pdot = dot(msgdot2, w_a)
         h = _silu(p)
         hdot = _dsilu(p) * pdot
-        phi = dot(h, w_b).reshape(k, nb, f) * mask3
-        phidot = dot(hdot, w_b).reshape(k, nb, f) * mask3
+        phi = dot(h, w_b).reshape(nb, k, f) * mask3
+        phidot = dot(hdot, w_b).reshape(nb, k, f) * mask3
         return p, pdot, h, hdot, phi, phidot
 
     b1 = branch(w1a, w1b)
@@ -253,12 +255,12 @@ def _dual_fwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
                      we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
                      inv1_ref, eq_ref, inv1dot_ref, eqdot_ref, *,
                      dot_dtype, with_force):
-    _, k, nb, r = rbf_ref.shape
+    _, nb, k, r = rbf_ref.shape
     f = npi_ref.shape[-1]
     dot = _mk_dot(dot_dtype)
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
     mask3 = _f32(mask_ref[0])[..., None]
-    e = k * nb
+    e = nb * k
     cat, catdot = cat_ref[0], catdot_ref[0]
     (_, _, _, _, msg, msgdot, _, _,
      (_, _, _, _, phi1, phi1dot), b2) = _dual_chain(
@@ -266,19 +268,19 @@ def _dual_fwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
         _f32(rbf_ref[0]).reshape(e, r), _f32(rbfdot_ref[0]).reshape(e, r),
         mask3, w, dot, with_force)
 
-    inv1_ref[0] = jnp.sum(msg, axis=0)
-    inv1dot_ref[0] = jnp.sum(msgdot, axis=0)
+    inv1_ref[0] = jnp.sum(msg, axis=1)
+    inv1dot_ref[0] = jnp.sum(msgdot, axis=1)
     for d in range(3):
         dird = _f32(dir_ref[0, d])[..., None]
         dirddot = _f32(dirdot_ref[0, d])[..., None]
-        eqd = jnp.sum(phi1 * dird, axis=0)
-        eqddot = jnp.sum(phi1dot * dird + phi1 * dirddot, axis=0)
+        eqd = jnp.sum(phi1 * dird, axis=1)
+        eqddot = jnp.sum(phi1dot * dird + phi1 * dirddot, axis=1)
         if with_force:
             _, _, _, _, phi2, phi2dot = b2
             fj = _f32(cat[..., (d + 1) * f:(d + 2) * f])
             fjdot = _f32(catdot[..., (d + 1) * f:(d + 2) * f])
-            eqd = eqd + jnp.sum(phi2 * fj, axis=0)
-            eqddot = eqddot + jnp.sum(phi2dot * fj + phi2 * fjdot, axis=0)
+            eqd = eqd + jnp.sum(phi2 * fj, axis=1)
+            eqddot = eqddot + jnp.sum(phi2dot * fj + phi2 * fjdot, axis=1)
         eq_ref[0, d] = eqd
         eqdot_ref[0, d] = eqddot
 
@@ -294,9 +296,9 @@ def _dual_bwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
     inputs (npart_i, cat_j, their tangents) and all five weight matrices.
     rbf/dir cotangents are intentionally NOT produced -- this op backs the
     parameter-gradient surrogate only (train/fastgrad.py).'''
-    _, k, nb, r = rbf_ref.shape
+    _, nb, k, r = rbf_ref.shape
     f = npi_ref.shape[-1]
-    e = k * nb
+    e = nb * k
     dot = _mk_dot(dot_dtype)
     dotT = _mk_dotT(dot_dtype)
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
@@ -312,15 +314,15 @@ def _dual_bwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
         npi, npidot, cat, catdot, rbf_flat, rbfdot_flat, mask3, w, dot,
         with_force)
 
-    dphi1 = jnp.zeros((k, nb, f), jnp.float32)
-    dphi1dot = jnp.zeros((k, nb, f), jnp.float32)
+    dphi1 = jnp.zeros((nb, k, f), jnp.float32)
+    dphi1dot = jnp.zeros((nb, k, f), jnp.float32)
     if with_force:
         p2, p2dot, h2, h2dot, phi2, phi2dot = b2
-        dphi2 = jnp.zeros((k, nb, f), jnp.float32)
-        dphi2dot = jnp.zeros((k, nb, f), jnp.float32)
+        dphi2 = jnp.zeros((nb, k, f), jnp.float32)
+        dphi2dot = jnp.zeros((nb, k, f), jnp.float32)
     for d in range(3):
-        dq = _f32(dq_ref[0, d])[None]                  # (1, nb, F)
-        dqdot = _f32(dqdot_ref[0, d])[None]
+        dq = _f32(dq_ref[0, d])[:, None]               # (nb, 1, F)
+        dqdot = _f32(dqdot_ref[0, d])[:, None]
         dird = _f32(dir_ref[0, d])[..., None]
         dirddot = _f32(dirdot_ref[0, d])[..., None]
         dphi1 = dphi1 + dq * dird + dqdot * dirddot
@@ -366,18 +368,19 @@ def _dual_bwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
             dw2a_ref, dw2b_ref)
         dmsg = dmsg + dmsg_b
         dmsgdot = dmsgdot + dmsgdot_b
-    dmsg3 = (dmsg.reshape(k, nb, f) + _f32(di_ref[0])[None]) * mask3
-    dmsgdot3 = (dmsgdot.reshape(k, nb, f) + _f32(didot_ref[0])[None]) * mask3
+    dmsg3 = (dmsg.reshape(nb, k, f) + _f32(di_ref[0])[:, None]) * mask3
+    dmsgdot3 = (dmsgdot.reshape(nb, k, f)
+                + _f32(didot_ref[0])[:, None]) * mask3
 
-    ai = npi[None]
-    aidot = npidot[None]
+    ai = npi[:, None]
+    aidot = npidot[:, None]
     # msg = me*ai*aj (masked); msgdot = medot*ai*aj + me*aidot*aj + me*ai*ajdot
     dme = dmsg3 * ai * npj + dmsgdot3 * (aidot * npj + ai * npjdot)
     dmedot = dmsgdot3 * ai * npj
     dnpi_ref[0] = jnp.sum(
         dmsg3 * me * npj + dmsgdot3 * (medot * npj + me * npjdot),
-        axis=0).astype(dnpi_ref.dtype)
-    dnpidot_ref[0] = jnp.sum(dmsgdot3 * me * npj, axis=0) \
+        axis=1).astype(dnpi_ref.dtype)
+    dnpidot_ref[0] = jnp.sum(dmsgdot3 * me * npj, axis=1) \
         .astype(dnpidot_ref.dtype)
     dcat_ref[0, :, :, :f] = (
         dmsg3 * me * ai + dmsgdot3 * (medot * ai + me * aidot)
@@ -400,9 +403,9 @@ def _dual_bwd_kernel(npi_ref, npidot_ref, cat_ref, catdot_ref,
 # pallas_call plumbing
 
 def _edge_spec(shape, nb):
-    '''BlockSpec for a (B, K, N, C) edge tensor -> block (1, K, nb, C).'''
-    _, K, _, C = shape
-    return pl.BlockSpec((1, K, nb, C), lambda b, i: (b, 0, i, 0),
+    '''BlockSpec for a (B, N, K, C) edge tensor -> block (1, nb, K, C).'''
+    _, _, K, C = shape
+    return pl.BlockSpec((1, nb, K, C), lambda b, i: (b, i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -419,16 +422,16 @@ def _eq_spec(shape, nb):
 
 
 def _dir_spec(shape, nb):
-    '''(B, 3, K, N) -> (1, 3, K, nb). K is second-to-minor: K % 8 == 0.'''
-    _, _, K, _ = shape
-    return pl.BlockSpec((1, 3, K, nb), lambda b, i: (b, 0, 0, i),
+    '''(B, 3, N, K) -> (1, 3, nb, K): full K in the minor dim.'''
+    _, _, _, K = shape
+    return pl.BlockSpec((1, 3, nb, K), lambda b, i: (b, 0, i, 0),
                         memory_space=pltpu.VMEM)
 
 
 def _mask_spec(shape, nb):
-    '''(B, K, N) -> (1, K, nb).'''
-    _, K, _ = shape
-    return pl.BlockSpec((1, K, nb), lambda b, i: (b, 0, i),
+    '''(B, N, K) -> (1, nb, K).'''
+    _, _, K = shape
+    return pl.BlockSpec((1, nb, K), lambda b, i: (b, i, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -445,22 +448,19 @@ def _w_out_specs(w_shapes):
 
 def _validate(npi, cat, rbf, dir_, mask, nb):
     B, N, F = npi.shape
-    _, K, _, C = cat.shape
+    _, _, K, C = cat.shape
     if N % nb:
         raise ValueError(f'N={N} not divisible by block nb={nb}')
-    if K % 8:
-        raise ValueError(f'K={K} must be a multiple of 8 (dir/mask blocks '
-                         'put K second-to-minor)')
-    if dir_.shape != (B, 3, K, N):
-        raise ValueError(f'dir must be (B, 3, K, N), got {dir_.shape}')
-    if mask.shape != (B, K, N):
-        raise ValueError(f'mask must be (B, K, N), got {mask.shape}')
+    if dir_.shape != (B, 3, N, K):
+        raise ValueError(f'dir must be (B, 3, N, K), got {dir_.shape}')
+    if mask.shape != (B, N, K):
+        raise ValueError(f'mask must be (B, N, K), got {mask.shape}')
     return B, N, F, K, C
 
 
 def pick_nb(n, dual=False):
-    '''Largest atom-tile size in {128, 64, 32, 16, 8} dividing N that fits
-    the chain under the VMEM cap (NEWTONNET_KLIST_NB overrides).'''
+    '''Largest atom-tile size in {64, 32, 16, 8} dividing N that fits the
+    chain under the VMEM cap (NEWTONNET_KLIST_NB overrides).'''
     import os
     forced = int(os.environ.get('NEWTONNET_KLIST_NB', '0'))
     if forced and n % forced == 0:
@@ -474,7 +474,7 @@ def pick_nb(n, dual=False):
             return nb
     # N not 8-divisible (small test systems / interpret mode): largest
     # divisor under the cap. Compiled TPU runs should pad N to a multiple
-    # of the tile instead (bf16 edge blocks want nb % 16 == 0).
+    # of the tile instead.
     for nb in range(min(cap, n), 0, -1):
         if n % nb == 0:
             return nb
@@ -485,8 +485,8 @@ def make_fused_klist_interaction(nb=64, interpret=False,
                                  dot_dtype=jnp.bfloat16, with_force=True):
     '''Build the custom-VJP fused K-list op.
 
-    fn(npart_i (B,N,F), cat_j (B,K,N,C), rbf (B,K,N,R), dir (B,3,K,N),
-       mask_f (B,K,N), We, W1a, W1b, W2a, W2b) -> (inv1 (B,N,F),
+    fn(npart_i (B,N,F), cat_j (B,N,K,C), rbf (B,N,K,R), dir (B,3,N,K),
+       mask_f (B,N,K), We, W1a, W1b, W2a, W2b) -> (inv1 (B,N,F),
        eq (B,3,N,F)).
 
     C = 4F with force (cat_j = [nodepart_j | force_j x|y|z]) or F for the
@@ -494,7 +494,7 @@ def make_fused_klist_interaction(nb=64, interpret=False,
     skipped and its weight cotangents are zero). First-order differentiable
     w.r.t. npart_i, cat_j, rbf, dir and the five weights in ONE fused
     backward kernel; second-order AD is NOT available (training uses the
-    dual op + train/fastgrad.py). N % nb == 0 and K % 8 == 0 required.
+    dual op + train/fastgrad.py). N % nb == 0 required.
     '''
 
     def call_fwd(npi, cat, rbf, dir_, mask, weights):
@@ -572,8 +572,8 @@ def make_fused_klist_interaction_dual(nb=32, interpret=False,
                                       with_force=True):
     '''Fused dual (primal + position-tangent) K-list op with custom VJP.
 
-    fn(npi, npidot (B,N,F), cat, catdot (B,K,N,C), rbf, rbfdot (B,K,N,R),
-       dir, dirdot (B,3,K,N), mask (B,K,N), We, W1a, W1b, W2a, W2b)
+    fn(npi, npidot (B,N,F), cat, catdot (B,N,K,C), rbf, rbfdot (B,N,K,R),
+       dir, dirdot (B,3,N,K), mask (B,N,K), We, W1a, W1b, W2a, W2b)
        -> (inv1, eq, inv1dot, eqdot).
 
     The VJP produces weight cotangents plus cotangents of the
@@ -615,8 +615,10 @@ def make_fused_klist_interaction_dual(nb=32, interpret=False,
                  _edge_spec(rbf.shape, nb), _edge_spec(rbf.shape, nb),
                  _dir_spec(dir_.shape, nb), _dir_spec(dir_.shape, nb),
                  _mask_spec(mask.shape, nb)]
-        cot_specs = [_node_spec(cots[0].shape, nb), _eq_spec(cots[1].shape, nb),
-                     _node_spec(cots[2].shape, nb), _eq_spec(cots[3].shape, nb)]
+        cot_specs = [_node_spec(cots[0].shape, nb),
+                     _eq_spec(cots[1].shape, nb),
+                     _node_spec(cots[2].shape, nb),
+                     _eq_spec(cots[3].shape, nb)]
         out_shape = (
             jax.ShapeDtypeStruct(npi.shape, jnp.float32),
             jax.ShapeDtypeStruct(npi.shape, jnp.float32),

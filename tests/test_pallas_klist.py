@@ -25,16 +25,16 @@ def _xla_ref(npi, cat, rbf, dir_, mask, We, W1a, W1b, W2a, W2b,
     f = npi.shape[-1]
     m = mask[..., None]
     npj = cat[..., :f]
-    msg = (rbf @ We) * npi[:, None] * npj * m       # (B, K, N, F)
-    inv1 = jnp.sum(msg, axis=1)
+    msg = (rbf @ We) * npi[:, :, None] * npj * m    # (B, N, K, F)
+    inv1 = jnp.sum(msg, axis=2)
     phi1 = (silu(msg @ W1a) @ W1b) * m
     if with_force:
         phi2 = (silu(msg @ W2a) @ W2b) * m
     eqs = []
     for d in range(3):
-        e = jnp.sum(phi1 * dir_[:, d][..., None], axis=1)
+        e = jnp.sum(phi1 * dir_[:, d][..., None], axis=2)
         if with_force:
-            e = e + jnp.sum(phi2 * cat[..., (d + 1) * f:(d + 2) * f], axis=1)
+            e = e + jnp.sum(phi2 * cat[..., (d + 1) * f:(d + 2) * f], axis=2)
         eqs.append(e[:, None])
     return inv1, jnp.concatenate(eqs, axis=1)
 
@@ -43,10 +43,10 @@ def _op_inputs(B=2, N=8, K=8, F=16, R=4, with_force=True, seed=0):
     rs = np.random.RandomState(seed)
     C = 4 * F if with_force else F
     npi = jnp.asarray(rs.randn(B, N, F), jnp.float32) * 0.3
-    cat = jnp.asarray(rs.randn(B, K, N, C), jnp.float32) * 0.3
-    rbf = jnp.asarray(rs.randn(B, K, N, R), jnp.float32) * 0.3
-    dir_ = jnp.asarray(rs.randn(B, 3, K, N), jnp.float32)
-    mask = jnp.asarray(rs.rand(B, K, N) < 0.7, jnp.float32)
+    cat = jnp.asarray(rs.randn(B, N, K, C), jnp.float32) * 0.3
+    rbf = jnp.asarray(rs.randn(B, N, K, R), jnp.float32) * 0.3
+    dir_ = jnp.asarray(rs.randn(B, 3, N, K), jnp.float32)
+    mask = jnp.asarray(rs.rand(B, N, K) < 0.7, jnp.float32)
     Ws = [jnp.asarray(rs.randn(*s), jnp.float32) * (1.0 / np.sqrt(s[0]))
           for s in [(R, F), (F, F), (F, F), (F, F), (F, F)]]
     return (npi, cat, rbf, dir_, mask), Ws
