@@ -222,11 +222,11 @@ def test_pallas_config_validation():
     import pytest
     with pytest.raises(ValueError):
         NewtonNet(kernel='pallas', output_properties=['hessian'])
-    # neighborlist IS supported (round 3) -- but only with 8-aligned k_max
-    # and plain full lists
-    with pytest.raises(ValueError):
-        NewtonNet(kernel='pallas', graph_mode='neighborlist', k_max=50,
-                  output_properties=['energy'])
+    # neighborlist IS supported (round 3) with plain full lists at any
+    # k_max (the N-major kernels carry the full K per block); half/inverse
+    # list formulations stay XLA-only
+    NewtonNet(kernel='pallas', graph_mode='neighborlist', k_max=50,
+              output_properties=['energy'])
     with pytest.raises(ValueError):
         NewtonNet(kernel='pallas', graph_mode='neighborlist', k_max=48,
                   newton3=True, output_properties=['energy'])
