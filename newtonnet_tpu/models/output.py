@@ -73,6 +73,7 @@ class NewtonNet:
             ewald_mode: str = 'auto',
             kernel: str = 'xla',
             pallas_dot_dtype: str = 'float32',
+            pallas_grad_dot_dtype: str = 'bfloat16',
             param_dtype=jnp.float32,
     ):
         for key in output_properties:
@@ -126,6 +127,14 @@ class NewtonNet:
         self.ewald_mode = ewald_mode
         self.kernel = kernel
         self.pallas_dot_dtype = pallas_dot_dtype
+        # MXU dtype for the parameter-GRADIENT dual kernels only (the
+        # loss/force path keeps pallas_dot_dtype): bf16 dots with fp32
+        # accumulation on the gradient path are standard mixed-precision
+        # training practice -- ~0.3% relative gradient noise, well under
+        # the optimizer's own stochasticity -- and the dual backward
+        # kernel is the measured hot spot of the dense train step
+        # (PERF_NOTES.md round-3 trace).
+        self.pallas_grad_dot_dtype = pallas_grad_dot_dtype
         self.param_dtype = param_dtype
 
         needs = set(self.output_properties)
@@ -174,6 +183,7 @@ class NewtonNet:
             'ewald_sigma': self.ewald_sigma, 'ewald_n_k': self.ewald_n_k,
             'ewald_mode': self.ewald_mode, 'kernel': self.kernel,
             'pallas_dot_dtype': self.pallas_dot_dtype,
+            'pallas_grad_dot_dtype': self.pallas_grad_dot_dtype,
         }
 
     # ------------------------------------------------------------------ #

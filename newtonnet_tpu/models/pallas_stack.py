@@ -104,25 +104,40 @@ def apply_core(params, model, z, pos, cell, fused=None):
     '''Primal forward: same outputs dict as NewtonNetCore.apply for the
     dense path with output_properties ['energy'] (atom_node, force_node,
     atomic_energy).'''
+    adj, feats = _geometry(model, z, pos, cell)
+    dir_t, rbf = feats(pos)
+    return core_from_geom(params, model, z, adj, dir_t, rbf, fused=fused)
+
+
+def core_from_geom(params, model, z, adj, dir_t, rbf, fused=None):
+    '''apply_core given precomputed geometry (adj, dir (B,3,N,N),
+    rbf (B,N,N,R)). Factoring the geometry out lets train/fastgrad.py
+    compute it ONCE per train step and share it between the force vjp and
+    the parameter-gradient surrogate (it is constant wrt params).'''
     p = params['params']
     B, N = z.shape
     F = model.n_features
+    pos_dtype = dir_t.dtype
     if fused is None:
+        # layer 0 sees force_node == 0 (zeros init): its kernel variant
+        # skips the dead phi2 branch, mirroring InteractionNet.first_layer
+        fused0 = make_fused_pair_interaction(
+            bb=pick_bb(B), interpret=_interpret(),
+            dot_dtype=jnp.dtype(model.pallas_dot_dtype), first_layer=True)
         fused = make_fused_pair_interaction(
             bb=pick_bb(B), interpret=_interpret(),
             dot_dtype=jnp.dtype(model.pallas_dot_dtype))
+    else:
+        fused0 = fused
 
-    adj, feats = _geometry(model, z, pos, cell)
-    dir_t, rbf = feats(pos)
-
-    fmask = (z > 0).astype(pos.dtype)[..., None]
-    atom_node = p['node_embedding'][z].astype(pos.dtype) * fmask
-    force_t = jnp.zeros((B, 3, N, F), pos.dtype)
+    fmask = (z > 0).astype(pos_dtype)[..., None]
+    atom_node = p['node_embedding'][z].astype(pos_dtype) * fmask
+    force_t = jnp.zeros((B, 3, N, F), pos_dtype)
 
     for i in range(model.n_interactions):
         lp = p[f'interaction_{i}']
         np_, _ = _mlp2_dual(lp['message_nodepart'], atom_node, None)
-        inv1, eq = fused(
+        inv1, eq = (fused0 if i == 0 else fused)(
             np_, rbf, dir_t, adj, force_t,
             lp['message_edgepart']['kernel'],
             lp['equiv_message1']['TorchLinear_0']['kernel'],
@@ -167,27 +182,46 @@ def _mlp3(p, x, xdot=None):
 def dual_energy(params, model, z, pos, cell, v, fused_dual=None):
     '''Per-graph energies E (B,) and their directional derivative along the
     position tangent v (B, N, 3), in one dual-number forward.'''
+    adj, feats = _geometry(model, z, pos, cell)
+    (dir_t, rbf), (dirdot_t, rbfdot) = jax.jvp(feats, (pos,), (v,))
+    return dual_energy_from_geom(params, model, z, adj, dir_t, rbf,
+                                 dirdot_t, rbfdot, fused_dual=fused_dual)
+
+
+def dual_energy_from_geom(params, model, z, adj, dir_t, rbf,
+                          dirdot_t, rbfdot, fused_dual=None):
+    '''dual_energy given precomputed primal + tangent geometry. The
+    geometry carries no parameter dependence, so train/fastgrad.py hoists
+    it out of the grad-of-surrogate (and shares the primal part with the
+    force vjp) instead of re-tracing it inside.'''
     p = params['params']
     B, N = z.shape
     F = model.n_features
+    pos_dtype = dir_t.dtype
     if fused_dual is None:
+        # the dual kernels back the parameter-gradient surrogate only;
+        # bf16 MXU passes there (fp32 accumulation) are mixed-precision
+        # gradient noise, not a loss/force-path precision change
+        grad_dt = jnp.dtype(getattr(model, 'pallas_grad_dot_dtype',
+                                    model.pallas_dot_dtype))
+        fused_dual0 = make_fused_pair_interaction_dual(
+            bb=pick_bb(B), interpret=_interpret(), dot_dtype=grad_dt,
+            first_layer=True)
         fused_dual = make_fused_pair_interaction_dual(
-            bb=pick_bb(B), interpret=_interpret(),
-            dot_dtype=jnp.dtype(model.pallas_dot_dtype))
+            bb=pick_bb(B), interpret=_interpret(), dot_dtype=grad_dt)
+    else:
+        fused_dual0 = fused_dual
 
-    adj, feats = _geometry(model, z, pos, cell)
-    (dir_t, rbf), (dirdot_t, rbfdot) = jax.jvp(feats, (pos,), (v,))
-
-    fmask = (z > 0).astype(pos.dtype)[..., None]
-    atom_node = p['node_embedding'][z].astype(pos.dtype) * fmask
+    fmask = (z > 0).astype(pos_dtype)[..., None]
+    atom_node = p['node_embedding'][z].astype(pos_dtype) * fmask
     atomdot = jnp.zeros_like(atom_node)
-    force_t = jnp.zeros((B, 3, N, F), pos.dtype)
+    force_t = jnp.zeros((B, 3, N, F), pos_dtype)
     forcedot_t = jnp.zeros_like(force_t)
 
     for i in range(model.n_interactions):
         lp = p[f'interaction_{i}']
         np_, npdot = _mlp2_dual(lp['message_nodepart'], atom_node, atomdot)
-        inv1, eq, inv1dot, eqdot = fused_dual(
+        inv1, eq, inv1dot, eqdot = (fused_dual0 if i == 0 else fused_dual)(
             np_, npdot, rbf, rbfdot, dir_t, dirdot_t, adj,
             force_t, forcedot_t,
             lp['message_edgepart']['kernel'],

@@ -46,10 +46,13 @@ def _dsilu(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-def _chain(np_, rbf_flat, adj, w, dot_dtype=jnp.float32):
+def _chain(np_, rbf_flat, adj, w, dot_dtype=jnp.float32, first_layer=False):
     '''Shared forward chain: returns (me4, msg, msg2, p1, h1, phi1, p2, h2,
     phi2) for block shapes (bb, n, n, *). dot_dtype=bfloat16 runs the MXU
-    passes in bf16 (f32 accumulation) for speed.'''
+    passes in bf16 (f32 accumulation) for speed. first_layer=True skips the
+    phi2 branch (its only consumer multiplies the stack's zero-initialized
+    force_node, matching InteractionNet's first_layer shortcut) and returns
+    None for its intermediates.'''
     we, w1a, w1b, w2a, w2b = w
     bb, n = np_.shape[0], np_.shape[1]
     f = np_.shape[-1]
@@ -64,6 +67,8 @@ def _chain(np_, rbf_flat, adj, w, dot_dtype=jnp.float32):
     p1 = dot(msg2, w1a)
     h1 = _silu(p1)
     phi1 = (dot(h1, w1b).reshape(bb, n, n, f)) * adj
+    if first_layer:
+        return me4, msg, msg2, p1, h1, phi1, None, None, None
     p2 = dot(msg2, w2a)
     h2 = _silu(p2)
     phi2 = (dot(h2, w2b).reshape(bb, n, n, f)) * adj
@@ -72,19 +77,23 @@ def _chain(np_, rbf_flat, adj, w, dot_dtype=jnp.float32):
 
 def _fwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
                 we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
-                inv1_ref, eq_ref, *, dot_dtype=jnp.float32):
+                inv1_ref, eq_ref, *, dot_dtype=jnp.float32,
+                first_layer=False):
     bb, n, _, r = rbf_ref.shape
     f = np_ref.shape[-1]
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
     adj = adj_ref[:][..., None]
     rbf_flat = rbf_ref[:].reshape(bb * n * n, r)
     _, msg, _, _, _, phi1, _, _, phi2 = _chain(np_ref[:], rbf_flat, adj, w,
-                                               dot_dtype)
+                                               dot_dtype, first_layer)
 
     inv1_ref[:] = jnp.sum(msg, axis=2)
     for d in range(3):
         dir_d = dir_ref[:, d][..., None]               # (bb, N, N, 1)
         e1 = jnp.sum(phi1 * dir_d, axis=2)             # (bb, N, F)
+        if first_layer:
+            eq_ref[:, d] = e1
+            continue
         fj = force_ref[:, d][:, None, :, :]            # (bb, 1, N, F)
         e2 = jnp.sum(phi2 * fj, axis=2)
         eq_ref[:, d] = e1 + e2
@@ -95,7 +104,7 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
                 dinv1_ref, deq_ref,
                 dnp_ref, drbf_ref, ddir_ref, dforce_ref,
                 dwe_ref, dw1a_ref, dw1b_ref, dw2a_ref, dw2b_ref, *,
-                dot_dtype=jnp.float32):
+                dot_dtype=jnp.float32, first_layer=False):
     bb, n, _, r = rbf_ref.shape
     f = np_ref.shape[-1]
     np_ = np_ref[:]
@@ -103,7 +112,7 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
     adj = adj_ref[:][..., None]
     rbf_flat = rbf_ref[:].reshape(bb * n * n, r)
     me4, msg, msg2, p1, h1, phi1, p2, h2, phi2 = _chain(
-        np_, rbf_flat, adj, w, dot_dtype)
+        np_, rbf_flat, adj, w, dot_dtype, first_layer)
 
     def dotT(a, b):
         # a^T @ b contracting the long (pair-slot) axis
@@ -113,11 +122,16 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
             preferred_element_type=jnp.float32)
 
     dphi1 = jnp.zeros((bb, n, n, f), jnp.float32)
-    dphi2 = jnp.zeros((bb, n, n, f), jnp.float32)
+    dphi2 = None if first_layer else jnp.zeros((bb, n, n, f), jnp.float32)
     for d in range(3):
         g4 = deq_ref[:, d][:, :, None, :]              # (bb, N, 1, F)
         dphi1 = dphi1 + g4 * dir_ref[:, d][..., None]
         ddir_ref[:, d] = jnp.sum(phi1 * g4, axis=-1)   # (bb, N, N)
+        if first_layer:
+            # force_node is the stack's zeros init: phi2 is skipped and
+            # the force cotangent is discarded by the caller
+            dforce_ref[:, d] = jnp.zeros((bb, n, f), jnp.float32)
+            continue
         fj = force_ref[:, d][:, None, :, :]            # (bb, 1, N, F)
         dphi2 = dphi2 + g4 * fj
         dforce_ref[:, d] = jnp.sum(phi2 * g4, axis=1)  # (bb, N, F)
@@ -128,11 +142,13 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
     dh1 = jnp.dot(dphi1, w1b_ref[:].T, preferred_element_type=jnp.float32)
     dp1 = dh1 * _dsilu(p1)
     dmsg = jnp.dot(dp1, w1a_ref[:].T, preferred_element_type=jnp.float32)
-    dphi2 = (dphi2 * adj).reshape(bb * n * n, f)
-    dh2 = jnp.dot(dphi2, w2b_ref[:].T, preferred_element_type=jnp.float32)
-    dp2 = dh2 * _dsilu(p2)
-    dmsg = dmsg + jnp.dot(dp2, w2a_ref[:].T,
-                          preferred_element_type=jnp.float32)
+    if not first_layer:
+        dphi2 = (dphi2 * adj).reshape(bb * n * n, f)
+        dh2 = jnp.dot(dphi2, w2b_ref[:].T,
+                      preferred_element_type=jnp.float32)
+        dp2 = dh2 * _dsilu(p2)
+        dmsg = dmsg + jnp.dot(dp2, w2a_ref[:].T,
+                              preferred_element_type=jnp.float32)
     dmsg4 = (dmsg.reshape(bb, n, n, f)
              + dinv1_ref[:][:, :, None, :]) * adj
 
@@ -155,8 +171,9 @@ def _bwd_kernel(np_ref, rbf_ref, dir_ref, adj_ref, force_ref,
     dwe_ref[:] += dotT(rbf_flat, dme)
     dw1a_ref[:] += dotT(msg2, dp1)
     dw1b_ref[:] += dotT(h1, dphi1)
-    dw2a_ref[:] += dotT(msg2, dp2)
-    dw2b_ref[:] += dotT(h2, dphi2)
+    if not first_layer:
+        dw2a_ref[:] += dotT(msg2, dp2)
+        dw2b_ref[:] += dotT(h2, dphi2)
 
 
 # Mosaic's default scoped-VMEM cap is 16 MiB; the fused backward/dual
@@ -182,14 +199,15 @@ def _weight_specs(n_weights):
 
 
 def _call_fwd(np_, rbf, dir_, adj, force, weights, bb, interpret,
-              dot_dtype=jnp.float32):
+              dot_dtype=jnp.float32, first_layer=False):
     B, N, _, R = rbf.shape
     F = np_.shape[-1]
     in_shapes = [np_.shape, rbf.shape, dir_.shape, adj.shape, force.shape]
     out_shapes = [(B, N, F), (B, 3, N, F)]
     import functools
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, dot_dtype=dot_dtype),
+        functools.partial(_fwd_kernel, dot_dtype=dot_dtype,
+                          first_layer=first_layer),
         grid=(B // bb,),
         in_specs=_specs(in_shapes, bb) + _weight_specs(5),
         out_specs=tuple(_specs(out_shapes, bb)),
@@ -201,7 +219,7 @@ def _call_fwd(np_, rbf, dir_, adj, force, weights, bb, interpret,
 
 
 def _call_bwd(np_, rbf, dir_, adj, force, weights, dinv1, deq, bb,
-              interpret, dot_dtype=jnp.float32):
+              interpret, dot_dtype=jnp.float32, first_layer=False):
     B, N, _, R = rbf.shape
     in_shapes = [np_.shape, rbf.shape, dir_.shape, adj.shape, force.shape]
     cot_shapes = [dinv1.shape, deq.shape]
@@ -211,7 +229,8 @@ def _call_bwd(np_, rbf, dir_, adj, force, weights, dinv1, deq, bb,
                                 memory_space=pltpu.VMEM) for s in w_shapes]
     import functools
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, dot_dtype=dot_dtype),
+        functools.partial(_bwd_kernel, dot_dtype=dot_dtype,
+                          first_layer=first_layer),
         grid=(B // bb,),
         in_specs=(_specs(in_shapes, bb) + _weight_specs(5)
                   + _specs(cot_shapes, bb)),
@@ -231,12 +250,15 @@ def _d2silu(x):
 
 
 def _dual_chain(np_, npdot, rbf_flat, rbfdot_flat, adj, w,
-                dot_dtype=jnp.float32):
+                dot_dtype=jnp.float32, first_layer=False):
     '''Primal + tangent (dual-number) pair chain, all VMEM-resident.
 
     Weights carry no tangent (the dual pass propagates a *position*
     tangent; see train/fastgrad.py). Returns every intermediate both the
-    dual-forward and its reverse need.
+    dual-forward and its reverse need. first_layer=True: force_node AND
+    the node tangents are identically zero at the stack's first layer
+    (zeros init), so the phi2 branch and the np-tangent terms of msgdot
+    vanish -- skip their compute (b2 returned as Nones).
     '''
     we, w1a, w1b, w2a, w2b = w
     bb, n = np_.shape[0], np_.shape[1]
@@ -248,12 +270,15 @@ def _dual_chain(np_, npdot, rbf_flat, rbfdot_flat, adj, w,
 
     ai = np_[:, :, None, :]
     aj = np_[:, None, :, :]
-    aidot = npdot[:, :, None, :]
-    ajdot = npdot[:, None, :, :]
     me = dot(rbf_flat, we).reshape(bb, n, n, f)
     medot = dot(rbfdot_flat, we).reshape(bb, n, n, f)
     msg = me * ai * aj * adj
-    msgdot = (medot * ai * aj + me * aidot * aj + me * ai * ajdot) * adj
+    if first_layer:
+        msgdot = medot * ai * aj * adj
+    else:
+        aidot = npdot[:, :, None, :]
+        ajdot = npdot[:, None, :, :]
+        msgdot = (medot * ai * aj + me * aidot * aj + me * ai * ajdot) * adj
     msg2 = msg.reshape(bb * n * n, f)
     msgdot2 = msgdot.reshape(bb * n * n, f)
 
@@ -267,7 +292,7 @@ def _dual_chain(np_, npdot, rbf_flat, rbfdot_flat, adj, w,
         return p, pdot, h, hdot, phi, phidot
 
     b1 = branch(w1a, w1b)
-    b2 = branch(w2a, w2b)
+    b2 = (None,) * 6 if first_layer else branch(w2a, w2b)
     return (me, medot, msg, msgdot, msg2, msgdot2, b1, b2)
 
 
@@ -276,7 +301,7 @@ def _dual_fwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
                      force_ref, forcedot_ref,
                      we_ref, w1a_ref, w1b_ref, w2a_ref, w2b_ref,
                      inv1_ref, eq_ref, inv1dot_ref, eqdot_ref, *,
-                     dot_dtype=jnp.float32):
+                     dot_dtype=jnp.float32, first_layer=False):
     bb, n, _, r = rbf_ref.shape
     w = (we_ref[:], w1a_ref[:], w1b_ref[:], w2a_ref[:], w2b_ref[:])
     adj = adj_ref[:][..., None]
@@ -285,13 +310,18 @@ def _dual_fwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
      (_, _, _, _, phi1, phi1dot),
      (_, _, _, _, phi2, phi2dot)) = _dual_chain(
         np_ref[:], npdot_ref[:], rbf_ref[:].reshape(e, r),
-        rbfdot_ref[:].reshape(e, r), adj, w, dot_dtype)
+        rbfdot_ref[:].reshape(e, r), adj, w, dot_dtype, first_layer)
 
     inv1_ref[:] = jnp.sum(msg, axis=2)
     inv1dot_ref[:] = jnp.sum(msgdot, axis=2)
     for d in range(3):
         dir_d = dir_ref[:, d][..., None]               # (bb, N, N, 1)
         dirdot_d = dirdot_ref[:, d][..., None]
+        if first_layer:
+            eq_ref[:, d] = jnp.sum(phi1 * dir_d, axis=2)
+            eqdot_ref[:, d] = jnp.sum(phi1dot * dir_d + phi1 * dirdot_d,
+                                      axis=2)
+            continue
         fj = force_ref[:, d][:, None, :, :]            # (bb, 1, N, F)
         fjdot = forcedot_ref[:, d][:, None, :, :]
         eq_ref[:, d] = (jnp.sum(phi1 * dir_d, axis=2)
@@ -308,7 +338,7 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
                      di_ref, dq_ref, didot_ref, dqdot_ref,
                      dnp_ref, dnpdot_ref, dforce_ref, dforcedot_ref,
                      dwe_ref, dw1a_ref, dw1b_ref, dw2a_ref, dw2b_ref, *,
-                     dot_dtype=jnp.float32):
+                     dot_dtype=jnp.float32, first_layer=False):
     '''Reverse of the dual forward: cotangents for the theta-dependent
     inputs (nodepart, force_node and their tangents) and for all five
     weight matrices. rbf/dir cotangents are intentionally NOT produced --
@@ -316,6 +346,11 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
 
     Weight cotangents accumulate across the (sequential) molecule-block
     grid: zero-initialized on the first grid step.
+
+    first_layer=True: the stack feeds zeros for force/forcedot/npdot at
+    layer 0, so the phi2 branch and all np-tangent terms vanish; their
+    cotangents (dforce/dforcedot/dnpdot, dw2a/dw2b) are exact zeros (the
+    surrogate's dependence through those inputs is identically zero).
     '''
     bb, n, _, r = rbf_ref.shape
     f = np_ref.shape[-1]
@@ -329,7 +364,7 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
     (me, medot, msg, msgdot, msg2, msgdot2,
      (p1, p1dot, h1, h1dot, phi1, phi1dot),
      (p2, p2dot, h2, h2dot, phi2, phi2dot)) = _dual_chain(
-        np_, npdot, rbf_flat, rbfdot_flat, adj, w, dot_dtype)
+        np_, npdot, rbf_flat, rbfdot_flat, adj, w, dot_dtype, first_layer)
 
     def dot(a, b):
         return jnp.dot(a.astype(dot_dtype), b.astype(dot_dtype),
@@ -344,17 +379,23 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
 
     dphi1 = jnp.zeros((bb, n, n, f), jnp.float32)
     dphi1dot = jnp.zeros((bb, n, n, f), jnp.float32)
-    dphi2 = jnp.zeros((bb, n, n, f), jnp.float32)
-    dphi2dot = jnp.zeros((bb, n, n, f), jnp.float32)
+    dphi2 = dphi2dot = None
+    if not first_layer:
+        dphi2 = jnp.zeros((bb, n, n, f), jnp.float32)
+        dphi2dot = jnp.zeros((bb, n, n, f), jnp.float32)
     for d in range(3):
         dq = dq_ref[:, d][:, :, None, :]               # (bb, N, 1, F)
         dqdot = dqdot_ref[:, d][:, :, None, :]
         dir_d = dir_ref[:, d][..., None]
         dirdot_d = dirdot_ref[:, d][..., None]
-        fj = force_ref[:, d][:, None, :, :]
-        fjdot = forcedot_ref[:, d][:, None, :, :]
         dphi1 = dphi1 + dq * dir_d + dqdot * dirdot_d
         dphi1dot = dphi1dot + dqdot * dir_d
+        if first_layer:
+            dforce_ref[:, d] = jnp.zeros((bb, n, f), jnp.float32)
+            dforcedot_ref[:, d] = jnp.zeros((bb, n, f), jnp.float32)
+            continue
+        fj = force_ref[:, d][:, None, :, :]
+        fjdot = forcedot_ref[:, d][:, None, :, :]
         dphi2 = dphi2 + dq * fj + dqdot * fjdot
         dphi2dot = dphi2dot + dqdot * fj
         dforce_ref[:, d] = jnp.sum(phi2 * dq + phi2dot * dqdot, axis=1)
@@ -385,26 +426,46 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
 
     dmsg_a, dmsgdot_a = backprop_branch(dphi1, dphi1dot, p1, p1dot, h1,
                                         h1dot, w1a, w1b, dw1a_ref, dw1b_ref)
-    dmsg_b, dmsgdot_b = backprop_branch(dphi2, dphi2dot, p2, p2dot, h2,
-                                        h2dot, w2a, w2b, dw2a_ref, dw2b_ref)
-    dmsg = (dmsg_a + dmsg_b).reshape(bb, n, n, f) \
-        + di_ref[:][:, :, None, :]
-    dmsgdot = (dmsgdot_a + dmsgdot_b).reshape(bb, n, n, f) \
-        + didot_ref[:][:, :, None, :]
+    if first_layer:
+        @pl.when(first)
+        def _():
+            dw2a_ref[:] = jnp.zeros_like(dw2a_ref)
+            dw2b_ref[:] = jnp.zeros_like(dw2b_ref)
+        dmsg = dmsg_a.reshape(bb, n, n, f) + di_ref[:][:, :, None, :]
+        dmsgdot = (dmsgdot_a.reshape(bb, n, n, f)
+                   + didot_ref[:][:, :, None, :])
+    else:
+        dmsg_b, dmsgdot_b = backprop_branch(dphi2, dphi2dot, p2, p2dot, h2,
+                                            h2dot, w2a, w2b, dw2a_ref,
+                                            dw2b_ref)
+        dmsg = (dmsg_a + dmsg_b).reshape(bb, n, n, f) \
+            + di_ref[:][:, :, None, :]
+        dmsgdot = (dmsgdot_a + dmsgdot_b).reshape(bb, n, n, f) \
+            + didot_ref[:][:, :, None, :]
 
     ai = np_[:, :, None, :]
     aj = np_[:, None, :, :]
-    aidot = npdot[:, :, None, :]
-    ajdot = npdot[:, None, :, :]
     t = dmsg * adj
     tdot = dmsgdot * adj
-    dme = t * ai * aj + tdot * (aidot * aj + ai * ajdot)
-    dmedot = tdot * ai * aj
-    dnp_ref[:] = (
-        jnp.sum(t * me * aj + tdot * (medot * aj + me * ajdot), axis=2)
-        + jnp.sum(t * me * ai + tdot * (medot * ai + me * aidot), axis=1))
-    dnpdot_ref[:] = (jnp.sum(tdot * me * aj, axis=2)
-                     + jnp.sum(tdot * me * ai, axis=1))
+    if first_layer:
+        # npdot == 0: its tangent terms vanish, and dnpdot's downstream
+        # consumers are exactly zero (see docstring) -- write zeros
+        dme = t * ai * aj
+        dmedot = tdot * ai * aj
+        dnp_ref[:] = (jnp.sum(t * me * aj + tdot * medot * aj, axis=2)
+                      + jnp.sum(t * me * ai + tdot * medot * ai, axis=1))
+        dnpdot_ref[:] = jnp.zeros((bb, n, f), jnp.float32)
+    else:
+        aidot = npdot[:, :, None, :]
+        ajdot = npdot[:, None, :, :]
+        dme = t * ai * aj + tdot * (aidot * aj + ai * ajdot)
+        dmedot = tdot * ai * aj
+        dnp_ref[:] = (
+            jnp.sum(t * me * aj + tdot * (medot * aj + me * ajdot), axis=2)
+            + jnp.sum(t * me * ai + tdot * (medot * ai + me * aidot),
+                      axis=1))
+        dnpdot_ref[:] = (jnp.sum(tdot * me * aj, axis=2)
+                         + jnp.sum(tdot * me * ai, axis=1))
 
     dwe = dotT(rbf_flat, dme.reshape(e, f)) \
         + dotT(rbfdot_flat, dmedot.reshape(e, f))
@@ -415,7 +476,8 @@ def _dual_bwd_kernel(np_ref, npdot_ref, rbf_ref, rbfdot_ref,
     dwe_ref[:] += dwe
 
 
-def _call_dual_fwd(args, weights, bb, interpret, dot_dtype=jnp.float32):
+def _call_dual_fwd(args, weights, bb, interpret, dot_dtype=jnp.float32,
+                   first_layer=False):
     np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot = args
     B, N, _, R = rbf.shape
     F = np_.shape[-1]
@@ -423,7 +485,8 @@ def _call_dual_fwd(args, weights, bb, interpret, dot_dtype=jnp.float32):
     out_shapes = [(B, N, F), (B, 3, N, F), (B, N, F), (B, 3, N, F)]
     import functools
     return pl.pallas_call(
-        functools.partial(_dual_fwd_kernel, dot_dtype=dot_dtype),
+        functools.partial(_dual_fwd_kernel, dot_dtype=dot_dtype,
+                          first_layer=first_layer),
         grid=(B // bb,),
         in_specs=_specs(in_shapes, bb) + _weight_specs(5),
         out_specs=tuple(_specs(out_shapes, bb)),
@@ -435,7 +498,7 @@ def _call_dual_fwd(args, weights, bb, interpret, dot_dtype=jnp.float32):
 
 
 def _call_dual_bwd(args, weights, cots, bb, interpret,
-                   dot_dtype=jnp.float32):
+                   dot_dtype=jnp.float32, first_layer=False):
     np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot = args
     B, N, _, R = rbf.shape
     F = np_.shape[-1]
@@ -449,7 +512,8 @@ def _call_dual_bwd(args, weights, cots, bb, interpret,
     w_out_specs = [pl.BlockSpec(s, lambda i, _nd=len(s): (0,) * _nd,
                                 memory_space=pltpu.VMEM) for s in w_shapes]
     return pl.pallas_call(
-        functools.partial(_dual_bwd_kernel, dot_dtype=dot_dtype),
+        functools.partial(_dual_bwd_kernel, dot_dtype=dot_dtype,
+                          first_layer=first_layer),
         grid=(B // bb,),
         in_specs=(_specs(in_shapes, bb) + _weight_specs(5)
                   + _specs(cot_shapes, bb)),
@@ -464,7 +528,8 @@ def _call_dual_bwd(args, weights, cots, bb, interpret,
 
 
 def make_fused_pair_interaction_dual(bb=4, interpret=False,
-                                     dot_dtype=jnp.float32):
+                                     dot_dtype=jnp.float32,
+                                     first_layer=False):
     '''Fused dual (primal + position-tangent) pair-interaction op.
 
     fn(np_, npdot (B,N,F), rbf, rbfdot (B,N,N,R), dir, dirdot (B,3,N,N),
@@ -486,19 +551,22 @@ def make_fused_pair_interaction_dual(bb=4, interpret=False,
               We, W1a, W1b, W2a, W2b):
         return _call_dual_fwd(
             (np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot),
-            (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype)
+            (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype,
+            first_layer)
 
     def fwd(np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot,
             We, W1a, W1b, W2a, W2b):
         args = (np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot)
         weights = (We, W1a, W1b, W2a, W2b)
-        return (_call_dual_fwd(args, weights, bb, interpret, dot_dtype),
+        return (_call_dual_fwd(args, weights, bb, interpret, dot_dtype,
+                               first_layer),
                 (args, weights))
 
     def bwd(res, cots):
         args, weights = res
         dnp, dnpdot, dforce, dforcedot, dwe, dw1a, dw1b, dw2a, dw2b = \
-            _call_dual_bwd(args, weights, cots, bb, interpret, dot_dtype)
+            _call_dual_bwd(args, weights, cots, bb, interpret, dot_dtype,
+                           first_layer)
         zero = jnp.zeros_like
         (np_, npdot, rbf, rbfdot, dir_, dirdot, adj, force, forcedot) = args
         return (dnp, dnpdot, zero(rbf), zero(rbfdot), zero(dir_),
@@ -510,7 +578,8 @@ def make_fused_pair_interaction_dual(bb=4, interpret=False,
 
 
 def make_fused_pair_interaction(bb=4, interpret=False,
-                                dot_dtype=jnp.float32):
+                                dot_dtype=jnp.float32,
+                                first_layer=False):
     '''Build the custom-VJP fused op.
 
     fn(np_ (B,N,F), rbf (B,N,N,R), dir (B,3,N,N), adj_f32 (B,N,N),
@@ -527,11 +596,13 @@ def make_fused_pair_interaction(bb=4, interpret=False,
     @jax.custom_vjp
     def fused(np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b):
         return _call_fwd(np_, rbf, dir_, adj, force,
-                         (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype)
+                         (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype,
+                         first_layer)
 
     def fwd(np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b):
         out = _call_fwd(np_, rbf, dir_, adj, force,
-                        (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype)
+                        (We, W1a, W1b, W2a, W2b), bb, interpret, dot_dtype,
+                        first_layer)
         return out, (np_, rbf, dir_, adj, force, We, W1a, W1b, W2a, W2b)
 
     def bwd(res, cots):
@@ -539,7 +610,7 @@ def make_fused_pair_interaction(bb=4, interpret=False,
         dinv1, deq = cots
         dnp, drbf, ddir, dforce, dwe, dw1a, dw1b, dw2a, dw2b = _call_bwd(
             np_, rbf, dir_, adj, force, (We, W1a, W1b, W2a, W2b),
-            dinv1, deq, bb, interpret, dot_dtype)
+            dinv1, deq, bb, interpret, dot_dtype, first_layer)
         return (dnp, drbf, ddir, jnp.zeros_like(adj), dforce,
                 dwe, dw1a, dw1b, dw2a, dw2b)
 

@@ -125,11 +125,15 @@ def test_dual_vjp_matches_xla():
 
 # ------------------------------------------------------------------ #
 # model-level: kernel='pallas' vs kernel='xla' through the public API
-def _models(B=4, N=6, seed=0, outputs=('energy', 'gradient_force')):
+def _models(B=4, N=6, seed=0, outputs=('energy', 'gradient_force'),
+            grad_dot='float32'):
+    # grad_dot='float32' pins the dual (gradient) kernels to fp32 MXU
+    # passes so exactness asserts hold; the production default is bf16
+    # (mixed-precision gradients, tested separately for closeness)
     cfg = dict(cutoff=5.0, n_features=32, n_basis=8, n_interactions=2,
                output_properties=list(outputs))
     xla = NewtonNet(**cfg)
-    pal = NewtonNet(kernel='pallas', **cfg)
+    pal = NewtonNet(kernel='pallas', pallas_grad_dot_dtype=grad_dot, **cfg)
     rs = np.random.RandomState(seed)
     z = np.zeros((B, N), np.int32)
     for b in range(B):
@@ -216,6 +220,27 @@ def test_fastgrad_pallas_matches_xla():
     np.testing.assert_allclose(float(l_p), float(l_x), rtol=2e-5)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=2e-4), g_p, g_x)
+
+
+def test_fastgrad_pallas_bf16_grad_dots_close():
+    '''The production default (bf16 MXU passes in the dual/gradient
+    kernels, fp32 accumulation) leaves the loss bit-identical to the fp32
+    dual path and the gradients close in relative norm -- standard
+    mixed-precision gradient noise, far below optimizer stochasticity.'''
+    xla, pal, params, z, pos, cell = _models(seed=8, grad_dot='bfloat16')
+    main_loss, _ = _loss_fns()
+    batch = _batchify(z, pos, cell)
+    l_x, g_x, _ = fastgrad.value_and_grad(xla, main_loss, params, batch)
+    l_p, g_p, _ = fastgrad.value_and_grad(pal, main_loss, params, batch)
+    # loss comes from the fp32 force path -- unaffected by the dual dtype
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=2e-5)
+    gx = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_x)])
+    gp = jnp.concatenate([a.ravel() for a in jax.tree.leaves(g_p)])
+    rel = float(jnp.linalg.norm(gp - gx) / (jnp.linalg.norm(gx) + 1e-30))
+    assert rel < 2e-2, f'bf16 dual gradients too far from fp32: {rel}'
+    cos = float(jnp.vdot(gp, gx)
+                / (jnp.linalg.norm(gp) * jnp.linalg.norm(gx) + 1e-30))
+    assert cos > 0.9999, f'gradient direction off: cos={cos}'
 
 
 def test_pallas_config_validation():
