@@ -70,7 +70,9 @@ def measure_window(n_atoms=4096, mode='newton3', k_max=40, sort_frac=1.0):
     return max(-lo, hi)
 
 
-def bench_gather(n_atoms=4096, K=40, F4=512, W=2048, T=256):
+def bench_gather(n_atoms=4096, K=40, F4=512, W=3072, T=128):
+    # W=3072 is the smallest 128-multiple covering the measured cell-sorted
+    # offset range at N=4096 (max |d|=1416 plus T/2 block half-width).
     import time
 
     import jax
@@ -136,18 +138,16 @@ def bench_gather(n_atoms=4096, K=40, F4=512, W=2048, T=256):
     print(f'  onehot-XLA parity max|err| = {err:.2e}')
     timeit(onehot_xla, (x, idx), 'onehot window gather (XLA)')
 
-    # Pallas windowed kernel
-    try:
-        from newtonnet_tpu.ops.pallas_window import window_gather
-        interpret = dev != 'tpu'
-        outp = window_gather(x, idx, W=W, T=T, interpret=interpret)
-        err = float(jnp.max(jnp.abs(out_ref - outp)))
-        print(f'  onehot-pallas parity max|err| = {err:.2e}')
-        if not interpret:
-            timeit(lambda x, i: window_gather(x, i, W=W, T=T), (x, idx),
-                   'onehot window gather (pallas)')
-    except ImportError:
-        print('  (ops/pallas_window.py not present yet)')
+    # Pallas windowed kernel (K-major API; full bench in tools/bench_window.py)
+    from newtonnet_tpu.ops.pallas_window import window_gather
+    idx_kn = jnp.swapaxes(idx, 1, 2)                       # (1, K, N)
+    outp = jnp.swapaxes(window_gather(x, idx_kn, W, T), 1, 2)
+    mk = maskj[..., None]                                  # (1, N, K, 1)
+    err = float(jnp.max(jnp.abs(jnp.where(mk, out_ref - outp, 0))))
+    print(f'  onehot-pallas parity max|err| = {err:.2e}')
+    if dev == 'tpu':
+        timeit(lambda x, i: window_gather(x, i, W, T), (x, idx_kn),
+               'onehot window gather (pallas)')
 
     # adjoint: scatter-add baseline vs transposed windowed matmul
     y = out_ref
@@ -183,18 +183,16 @@ def bench_gather(n_atoms=4096, K=40, F4=512, W=2048, T=256):
     print(f'  onehot-scatter parity rel|err| = {err:.2e}')
     timeit(onehot_scatter_xla, (y, idx), 'onehot window scatter (XLA)')
 
-    try:
-        from newtonnet_tpu.ops.pallas_window import window_scatter_sum
-        interpret = dev != 'tpu'
-        dsp = window_scatter_sum(y, idx, N=N, W=W, T=T, interpret=interpret)
-        err = float(jnp.max(jnp.abs(ds_ref - dsp)) /
-                    (float(jnp.max(jnp.abs(ds_ref))) + 1e-9))
-        print(f'  pallas-scatter parity rel|err| = {err:.2e}')
-        if not interpret:
-            timeit(lambda y, i: window_scatter_sum(y, i, N=N, W=W, T=T),
-                   (y, idx), 'onehot window scatter (pallas)')
-    except ImportError:
-        pass
+    from newtonnet_tpu.ops.pallas_window import window_scatter_sum
+    y_kn = jnp.swapaxes(jnp.where(mk, y, 0), 1, 2)         # (1, K, N, F4)
+    dsp = window_scatter_sum(y_kn, idx_kn, W, T)
+    ds_ref_m = row_scatter(jnp.where(mk, y, 0), idx)
+    err = float(jnp.max(jnp.abs(ds_ref_m - dsp)) /
+                (float(jnp.max(jnp.abs(ds_ref_m))) + 1e-9))
+    print(f'  pallas-scatter parity rel|err| = {err:.2e}')
+    if dev == 'tpu':
+        timeit(lambda y, i: window_scatter_sum(y, i, W, T),
+               (y_kn, idx_kn), 'onehot window scatter (pallas)')
 
 
 if __name__ == '__main__':
