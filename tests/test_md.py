@@ -227,10 +227,19 @@ def test_fire_optimizer_converges():
 
 def test_on_device_amortized_cellgrid_rebuild(rng):
     '''Periodic neighborlist MD with nlist_every > 1 routes through the
-    O(N) cell-grid rebuild (md/driver.py) and keeps per-replica logs.'''
+    O(N) cell-grid rebuild (md/driver.py) and keeps per-replica logs.
+    The box must give a >= 3-cell grid (min(suggest_grid) >= 3 is the
+    driver's switch) and the capacity must be ample: a clean run reports
+    ZERO overflows/skin violations and emits no list-quality warning.'''
+    import warnings
+
     from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.ops.cellgrid import suggest_grid
     rs = np.random.RandomState(0)
-    N, L = 128, 12.0
+    N, L = 128, 20.0
+    # the driver only takes the O(N) grid path when the box fits >= 3
+    # cells of (cutoff + skin) per axis -- assert this test exercises it
+    assert min(suggest_grid(np.diag([L, L, L]), 5.0 + 1.0)) >= 3
     numbers = rs.choice([1, 6, 8], N)
     s = System(numbers, rs.rand(N, 3) * L, cell=np.diag([L, L, L]))
     maxwell_boltzmann(s, 300, rng=np.random.default_rng(0))
@@ -241,13 +250,74 @@ def test_on_device_amortized_cellgrid_rebuild(rng):
     z = jnp.asarray(numbers)[None]
     params = model.init(rng, z, jnp.asarray(s.positions)[None],
                         jnp.asarray(s.cell)[None])
-    out, log = run_langevin_on_device(
-        model, params, s, timestep=0.25 * units.fs, temperature_K=300,
-        friction=1 / (100 * units.fs), n_steps=8, log_every=2,
-        nlist_every=4, skin=1.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # a list-quality warning = failure
+        out, log = run_langevin_on_device(
+            model, params, s, timestep=0.25 * units.fs, temperature_K=300,
+            friction=1 / (100 * units.fs), n_steps=8, log_every=2,
+            nlist_every=4, skin=1.0)
     assert log['epot'].shape == (4,)  # single system: (n_logged,) not flat
     assert np.isfinite(log['epot']).all()
     assert np.isfinite(out.positions).all()
+    # a correctly-capacitated run must certify its own list quality
+    assert log['nlist_overflow'] == 0
+    assert log['skin_violations'] == 0
+
+
+def test_list_quality_counters_are_exact():
+    '''The amortized driver's list-quality counters are load-bearing: an
+    UNDERSIZED k_max reports exactly the overflow count of the list built
+    at the rebuild positions (one rebuild: nlist_every == n_steps, so the
+    build happens at the known initial positions), and the driver warns.'''
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.ops.nlist import neighbor_list
+
+    rs = np.random.RandomState(3)
+    N, L, k_small = 128, 12.0, 24
+    numbers = rs.choice([1, 6, 8], N)
+    pos0 = rs.rand(N, 3) * L
+    cell = np.diag([L, L, L])
+
+    # independent count: atoms whose in-range neighbor count at the initial
+    # positions exceeds k_small at the build radius cutoff + skin
+    skin = 1.0
+    _, _, _, ovf = neighbor_list(
+        jnp.asarray(pos0, jnp.float32)[None], jnp.asarray(cell)[None],
+        jnp.ones((1, N), bool), 5.0 + skin, k_small)
+    expected = int(np.sum(np.asarray(ovf)))
+    assert expected > 0  # the config is deliberately undersized
+
+    model = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      graph_mode='neighborlist', k_max=k_small,
+                      output_properties=['energy', 'gradient_force'])
+    z = jnp.asarray(numbers)[None]
+    params = model.init(jax.random.PRNGKey(0), z,
+                        jnp.asarray(pos0, jnp.float32)[None],
+                        jnp.asarray(cell, jnp.float32)[None])
+
+    def run(k_max, skin, n_steps=4):
+        m = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      graph_mode='neighborlist', k_max=k_max,
+                      output_properties=['energy', 'gradient_force'])
+        s = System(numbers, pos0.copy(), cell=cell)
+        maxwell_boltzmann(s, 300, rng=np.random.default_rng(0))
+        return run_langevin_on_device(
+            m, params, s, timestep=0.25 * units.fs, temperature_K=300,
+            friction=1 / (100 * units.fs), n_steps=n_steps, log_every=2,
+            nlist_every=n_steps, skin=skin)
+
+    with pytest.warns(UserWarning, match='list quality'):
+        _, log = run(k_small, skin)
+    assert log['nlist_overflow'] == expected
+
+    # correctly-capacitated twin: ample k_max -> both counters zero and no
+    # warning (~68 in-range neighbors at build radius 6 A at this density)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        _, log2 = run(127, skin)
+    assert log2['nlist_overflow'] == 0
+    assert log2['skin_violations'] == 0
 
 
 def test_inverse_lists_md_matches_standard_driver():

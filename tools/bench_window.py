@@ -32,7 +32,11 @@ def timeit(fn, args, tag, iters=50):
     return ms
 
 
-def main(n_atoms=4096, K=40, W=2048, T=256, F4=512):
+def main(n_atoms=4096, K=40, W=3072, T=128, F4=512):
+    # defaults W=3072, T=128: the smallest window the measured cell-sorted
+    # locality allows at N=4096 (offsets reach +/-1416; see PERF_NOTES.md
+    # and exp_window_gather.bench_gather) -- smaller windows fail the
+    # check_window assert below
     import jax
     import jax.numpy as jnp
 
@@ -71,7 +75,7 @@ def main(n_atoms=4096, K=40, W=2048, T=256, F4=512):
     def row_scatter(y):
         return jnp.zeros((1, N, F4), jnp.float32).at[
             0, idx_kn.reshape(-1)].add(
-            y.reshape(-1, F4).astype(jnp.float32), mode='drop')[None][0][None]
+            y.reshape(-1, F4).astype(jnp.float32), mode='drop')
 
     ref = row_gather(x)
     out = window_gather(x, idx_kn, W, T)

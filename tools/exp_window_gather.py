@@ -134,8 +134,12 @@ def bench_gather(n_atoms=4096, K=40, F4=512, W=3072, T=128):
 
     out_ref = row_gather2(x, idx)
     out_oh = onehot_xla(x, idx)
-    err = float(jnp.max(jnp.abs(out_ref - out_oh)))
-    print(f'  onehot-XLA parity max|err| = {err:.2e}')
+    # masked slots carry idx 0, which is out-of-window for most blocks (the
+    # one-hot drops them while the row gather fetches row 0): compare valid
+    # edges only, like the Pallas parity check below
+    err = float(jnp.max(jnp.abs(jnp.where(maskj[..., None],
+                                          out_ref - out_oh, 0))))
+    print(f'  onehot-XLA parity max|err| (valid edges) = {err:.2e}')
     timeit(onehot_xla, (x, idx), 'onehot window gather (XLA)')
 
     # Pallas windowed kernel (K-major API; full bench in tools/bench_window.py)
