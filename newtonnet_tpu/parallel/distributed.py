@@ -70,7 +70,7 @@ def is_multiprocess():
     return jax.process_count() > 1
 
 
-def global_data_batch(mesh, batch, stacked=False):
+def global_data_batch(mesh, batch, stacked=False, specs=None):
     '''Assemble this process's slice of a host batch into global arrays.
 
     Multi-process jit cannot consume plain per-host numpy batches: each
@@ -84,19 +84,30 @@ def global_data_batch(mesh, batch, stacked=False):
         batch: dict of host arrays, batch dim on axis 0 (or axis 1 when
             `stacked`: a steps_per_call scan stack, scan axis 0 unsharded).
         stacked: see above.
+        specs: optional {key: PartitionSpec} giving per-key shardings whose
+            FIRST axis is the 'data' axis (e.g. halo batches: z/pos/force
+            P('data', 'graph'), per-graph labels P('data') -- see
+            parallel/halo.halo_batch_specs). Keys absent from specs are
+            dropped. The non-data axes (here 'graph') must be process-LOCAL
+            on the mesh: the process contributes its data rows with the
+            full atom axis and make_array_from_process_local_data lays the
+            local slice out over the process's own devices. None = every
+            key sharded P('data') (plain DP).
 
     Returns:
-        dict of global jax.Arrays sharded P('data') / P(None, 'data').
+        dict of global jax.Arrays with the requested shardings (scan axis
+        prepended unsharded when `stacked`).
     '''
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = 1 if stacked else 0
-    spec = P(None, 'data') if stacked else P('data')
-    sh = NamedSharding(mesh, spec)
     nproc, rank = jax.process_count(), jax.process_index()
 
-    def conv(x):
+    def conv(x, spec):
+        if stacked:
+            spec = P(None, *spec)
+        sh = NamedSharding(mesh, spec)
         x = np.asarray(x)
         b = x.shape[axis]
         if b % nproc:
@@ -108,7 +119,9 @@ def global_data_batch(mesh, batch, stacked=False):
         return jax.make_array_from_process_local_data(
             sh, np.ascontiguousarray(x[tuple(sl)]), x.shape)
 
-    return {k: conv(v) for k, v in batch.items()}
+    if specs is None:
+        return {k: conv(v, P('data')) for k, v in batch.items()}
+    return {k: conv(v, specs[k]) for k, v in batch.items() if k in specs}
 
 
 def make_global_mesh(data=-1, graph=1):

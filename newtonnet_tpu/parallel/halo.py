@@ -256,7 +256,7 @@ def make_halo_energy_force_fn(model, mesh, n_halo, data_axis='data',
 
 
 HALO_LOSS_KEYS = frozenset(
-    {'energy', 'gradient_force', 'stress', 'virial'})
+    {'energy', 'gradient_force', 'direct_force', 'stress', 'virial'})
 
 
 def _halo_loss_config(loss_config, energy_weight, force_weight):
@@ -294,10 +294,13 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
     force (B, N, 3), graph_mask (B,), [stress (B, 3, 3)], [virial ...]}
     is globally sharded (batch over `data_axis`, atoms over `graph_axis`,
     labels alongside). loss_config follows train/loss.py
-    ({'energy': {'weight': w}, 'gradient_force': ..., 'stress': ...,
-    'virial': ...}, mse modes); None = the classic energy+force pair from
-    the two weight scalars. Masked-mean normalization is identical to
-    train/loss.py; gradients are psum-reduced over both axes.
+    ({'energy': {'weight': w}, 'gradient_force': ..., 'direct_force': ...,
+    'stress': ..., 'virial': ...}, mse modes); None = the classic
+    energy+force pair from the two weight scalars. Masked-mean
+    normalization is identical to train/loss.py (direct_force additionally
+    reports the cos/norm eval decompositions, ref loss.py:29-47); gradients
+    are psum-reduced over both axes. Second-derivative heads (hessian/bec)
+    are rejected with a documented rationale -- see the guard below.
 
     Per-graph predictions (energy, stress, virial) cross shards through
     psums whose legacy shard_map transpose would double-count, so each
@@ -318,7 +321,27 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
     cfg = _halo_loss_config(loss_config, energy_weight, force_weight)
     core = _halo_core(model, graph_axis, n_halo, mesh)
     needs_disp = 'stress' in cfg or 'virial' in cfg
-    has_charge = 'charge' in getattr(model, 'output_properties', ())
+    model_props = set(getattr(model, 'output_properties', ()))
+    has_charge = 'charge' in model_props
+    second = {'hessian', 'bec'} & model_props
+    if second:
+        # documented out-of-scope guard: a Hessian row d2E/dr_i dr_j (and
+        # the BEC polarization jacobian dq_j/dr_i) couples atom pairs up to
+        # 2 x (n_interactions x cutoff) apart -- far beyond the one-ring
+        # boundary blocks the halo exchange materializes -- and the heads'
+        # forward-over-reverse lanes would need their own psum-transpose
+        # algebra. Compute these properties post-training on the unsharded
+        # model (models/output.py _hessian/_bec work on one device, with
+        # hessian_block bounding memory).
+        raise ValueError(
+            f'halo training does not support second-derivative heads '
+            f'({sorted(second)}); drop them from output_properties for the '
+            f'sharded run and evaluate them post-training on the unsharded '
+            f'model')
+    if 'direct_force' in cfg and 'direct_force' not in model_props:
+        raise ValueError(
+            "loss config has 'direct_force' but the model has no "
+            "direct_force head (add it to output_properties)")
     if has_charge and getattr(model, 'ewald_mode', 'auto') != 'periodic':
         raise ValueError(
             "halo training with a charge head requires ewald_mode="
@@ -357,22 +380,33 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
                     e_local = e_local + ewald_energy_periodic_sharded(
                         out['charge'], pos_d, cell_d, atom_mask, graph_axis,
                         sigma=model.ewald_sigma, n_k=model.ewald_n_k)
+                # the direct_force head is a per-atom, shard-LOCAL output
+                # (MLP(a_i) . force_node_i): it needs no psum and its loss
+                # shards like gradient_force's
+                extra = {}
+                if 'direct_force' in cfg:
+                    extra['direct_force'] = out['direct_force'] * fmask
                 # differentiate the LOCAL energy sum; the halo ppermutes
                 # transpose to reverse ppermutes delivering cross-shard
                 # dE_other/dpos_mine terms, and the sharded Ewald term's
                 # gradients are exact per shard by construction
-                return jnp.sum(e_local), e_local
+                return jnp.sum(e_local), (e_local, extra)
 
             disp = jnp.broadcast_to(jnp.eye(3, dtype=pos.dtype),
                                     (pos.shape[0], 3, 3))
+            needs_pos_grad = 'gradient_force' in cfg
             if needs_disp:
-                (_, e_local), (pos_grad, disp_grad) = jax.value_and_grad(
-                    local_energy, argnums=(0, 1), has_aux=True)(pos, disp)
-            else:
-                (_, e_local), pos_grad = jax.value_and_grad(
+                (_, (e_local, extra)), (pos_grad, disp_grad) = \
+                    jax.value_and_grad(local_energy, argnums=(0, 1),
+                                       has_aux=True)(pos, disp)
+            elif needs_pos_grad:
+                (_, (e_local, extra)), pos_grad = jax.value_and_grad(
                     local_energy, has_aux=True)(pos, disp)
                 disp_grad = None
-            forces = -pos_grad
+            else:
+                # energy/direct_force-only config: no derivative pass
+                _, (e_local, extra) = local_energy(pos, disp)
+                pos_grad = disp_grad = None
 
             loss = 0.0
             aux = {'e_local': e_local,
@@ -385,11 +419,17 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
                 loss += w['energy'] * jnp.sum(
                     jax.lax.stop_gradient(resid) * e_local)
 
-            f_err = (forces - batch['force']) * fmask
-            aux['f_se'] = jnp.sum(f_err * f_err)
-            aux['f_ae'] = jnp.sum(jnp.abs(f_err))
             if 'gradient_force' in cfg:
+                f_err = (-pos_grad - batch['force']) * fmask
+                aux['f_se'] = jnp.sum(f_err * f_err)
+                aux['f_ae'] = jnp.sum(jnp.abs(f_err))
                 loss += w['gradient_force'] * aux['f_se'] / n_force
+            if 'direct_force' in cfg:
+                aux['d_pred'] = extra['direct_force']
+                d_err = (aux['d_pred'] - batch['force']) * fmask
+                aux['d_se'] = jnp.sum(d_err * d_err)
+                aux['d_ae'] = jnp.sum(jnp.abs(d_err))
+                loss += w['direct_force'] * aux['d_se'] / n_force
 
             for key, local_tensor in (
                     ('stress', (lambda: disp_grad
@@ -422,8 +462,6 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
         e_err = (aux['e_pred'] - batch['energy']) * gmask
         e_mse = jax.lax.psum(jnp.sum(e_err * e_err), data_axis) / n_graphs
         e_mae = jax.lax.psum(jnp.sum(jnp.abs(e_err)), data_axis) / n_graphs
-        f_mse = jax.lax.psum(aux['f_se'], (data_axis, graph_axis)) / n_force
-        f_mae = jax.lax.psum(aux['f_ae'], (data_axis, graph_axis)) / n_force
         metrics = {'loss': 0.0}
         if 'energy' in cfg:
             # per-atom energy metrics: per-graph atom counts psum over shards
@@ -440,9 +478,42 @@ def make_halo_grads_fn(model, mesh, n_halo, loss_config=None,
                         'energy_per_atom_mse': ea_mse}
             metrics['loss'] += w['energy'] * e_mse
         if 'gradient_force' in cfg:
+            f_mse = jax.lax.psum(aux['f_se'],
+                                 (data_axis, graph_axis)) / n_force
+            f_mae = jax.lax.psum(aux['f_ae'],
+                                 (data_axis, graph_axis)) / n_force
             metrics |= {'gradient_force_mae': f_mae,
                         'gradient_force_mse': f_mse}
             metrics['loss'] += w['gradient_force'] * f_mse
+        if 'direct_force' in cfg:
+            # same eval battery get_loss_by_string derives for direct
+            # force (ref loss.py:29-47): plain mae/mse over components plus
+            # the cos and norm decompositions (per-atom scalars, masked
+            # mean over atoms). All quantities are shard-local per atom.
+            d_mse = jax.lax.psum(aux['d_se'],
+                                 (data_axis, graph_axis)) / n_force
+            d_mae = jax.lax.psum(aux['d_ae'],
+                                 (data_axis, graph_axis)) / n_force
+            n_at_total = n_force / 3.0
+            amaskf = fmask[..., 0]  # (B_loc, N_loc)
+            pred, ref = aux['d_pred'], batch['force']
+            dot = jnp.sum(pred * ref, axis=-1)
+            norm = (jnp.linalg.norm(pred, axis=-1)
+                    * jnp.linalg.norm(ref, axis=-1))
+            cos = dot / jnp.maximum(norm, 1e-8)
+            c_err = (cos - 1.0) * amaskf
+            n_err = (jnp.linalg.norm(pred, axis=-1)
+                     - jnp.linalg.norm(ref, axis=-1)) * amaskf
+            psum2 = lambda x: jax.lax.psum(  # noqa: E731
+                jnp.sum(x), (data_axis, graph_axis))
+            metrics |= {
+                'direct_force_mae': d_mae, 'direct_force_mse': d_mse,
+                'direct_force_cos_mae': psum2(jnp.abs(c_err)) / n_at_total,
+                'direct_force_cos_mse': psum2(c_err * c_err) / n_at_total,
+                'direct_force_norm_mae': psum2(jnp.abs(n_err)) / n_at_total,
+                'direct_force_norm_mse': psum2(n_err * n_err) / n_at_total,
+            }
+            metrics['loss'] += w['direct_force'] * d_mse
         for key in ('stress', 'virial'):
             if key in cfg:
                 t_mse = jax.lax.psum(aux[f'{key}_se'], data_axis) / n_tensor

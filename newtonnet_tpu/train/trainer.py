@@ -212,13 +212,27 @@ class Trainer:
         # (large, pre-sorted) frame sharded over the mesh 'graph' axis with
         # boundary-only ppermute exchange per layer. The loss/gradients run
         # inside shard_map with their own psum algebra, so the loss config
-        # is restricted to energy + gradient_force mse.
+        # is restricted to the mse battery of parallel/halo.HALO_LOSS_KEYS
+        # (energy / gradient_force / direct_force / stress / virial).
         self.halo = dict(halo) if halo else None
         if self.halo and self._multiproc:
-            raise ValueError(
-                'halo training is single-process per slice this release; '
-                'multi-process runs use the data axis across processes '
-                '(graph-axis halo within a process/slice)')
+            # composed layout (SURVEY.md sections 2.3/5): 'data' OUTERMOST,
+            # spanning processes (the gradient psum crosses the process
+            # boundary once per step), 'graph' INNERMOST over each
+            # process's local devices (per-layer halo ppermutes stay on
+            # ICI). Every data row of the mesh must therefore live inside
+            # one process -- jax.devices() orders devices by process, so
+            # make_mesh(data=D, graph=G) satisfies this whenever G divides
+            # the per-process device count.
+            for row in np.asarray(self.mesh.devices):
+                procs = {d.process_index for d in np.atleast_1d(row)}
+                if len(procs) > 1:
+                    raise ValueError(
+                        'halo + multi-process training needs the graph '
+                        'axis process-local, but a mesh data row spans '
+                        f'processes {sorted(procs)}; build the mesh with '
+                        'data spanning processes (data = a multiple of '
+                        'the process count, graph <= devices per process)')
         if self._multiproc:
             # params/opt state must enter the multi-process jit as GLOBAL
             # replicated arrays (a process-local committed array cannot be
@@ -248,10 +262,13 @@ class Trainer:
                 model, self.mesh, int(self.halo['n_halo']), loss_config=cfg,
                 with_grads=False)
             # the shard_map in_specs cover exactly the keys the loss reads;
-            # extra batch keys (e.g. labels outside the config) are dropped
+            # extra batch keys (e.g. labels outside the config) are dropped.
+            # The specs double as the multi-process global-array layout
+            # (parallel/distributed.global_data_batch(specs=...)).
             from newtonnet_tpu.parallel.halo import halo_batch_specs
-            self._halo_batch_keys = frozenset(halo_batch_specs(
-                tensor_labels=[k for k in ('stress', 'virial') if k in cfg]))
+            self._halo_specs = halo_batch_specs(
+                tensor_labels=[k for k in ('stress', 'virial') if k in cfg])
+            self._halo_batch_keys = frozenset(self._halo_specs)
             self.fast_grad = False  # halo owns its gradient algebra
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -828,7 +845,9 @@ class Trainer:
             if self._multiproc:
                 from newtonnet_tpu.parallel.distributed import \
                     global_data_batch
-                batch = global_data_batch(self.mesh, batch)
+                batch = global_data_batch(
+                    self.mesh, batch,
+                    specs=self._halo_specs if self.halo else None)
             if step:
                 if per_step_lr:
                     self.params, self.opt_state, totals = self._train_step(
@@ -851,8 +870,9 @@ class Trainer:
                 if self._multiproc:
                     from newtonnet_tpu.parallel.distributed import \
                         global_data_batch
-                    stacked = global_data_batch(self.mesh, stacked,
-                                                stacked=True)
+                    stacked = global_data_batch(
+                        self.mesh, stacked, stacked=True,
+                        specs=self._halo_specs if self.halo else None)
                 if step:
                     if per_step_lr:
                         lrs = np.asarray([next_lr() for _ in pending],

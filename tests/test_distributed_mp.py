@@ -52,6 +52,61 @@ training:
 '''
 
 
+HALO_CONFIG = '''\
+general:
+  device: cpu
+  precision: float32
+  output: {out}
+  seed: 1
+data:
+  train_root: {root}
+  train_size: 16
+  val_size: 4
+  test_size: 4
+  train_batch_size: 4
+  val_batch_size: 4
+  test_batch_size: 4
+  spatial_sort: true
+  n_pad: 48
+model:
+  cutoff: 3.0
+  n_features: 8
+  n_basis: 4
+  n_interactions: 1
+  graph_mode: neighborlist
+  k_max: 24
+  output_properties: ['energy', 'gradient_force']
+training:
+  epochs: {epochs}
+  steps_per_call: 2
+  parallel: {{data: 2, graph: 2}}
+  halo: {{n_halo: 12}}
+  loss:
+    energy: {{weight: 1.0}}
+    gradient_force: {{weight: 50.0}}
+  optimizer:
+    adam: {{lr: 0.001}}
+'''
+
+
+def _write_gas_dataset(root, n_frames=24, n_atoms=48, seed=5):
+    '''Periodic random-gas frames in a long [48, 6, 6] box -- wide enough
+    along x for a 2-shard slab decomposition at cutoff 3 (the same
+    configuration class as tests/test_halo.py).'''
+    from newtonnet_tpu.data.xyz import Frame, write_extxyz
+    rs = np.random.RandomState(seed)
+    box = np.diag([48.0, 6.0, 6.0])
+    frames = []
+    for _ in range(n_frames):
+        numbers = rs.choice([1, 6, 8], size=n_atoms)
+        pos = rs.rand(n_atoms, 3) * np.diag(box)
+        frames.append(Frame(numbers=numbers, positions=pos, cell=box,
+                            pbc=[True] * 3, energy=float(rs.randn()),
+                            forces=rs.randn(n_atoms, 3)))
+    os.makedirs(os.path.join(root, 'raw'), exist_ok=True)
+    write_extxyz(os.path.join(root, 'raw', 'gas.xyz'), frames)
+
+
 def _clean_env():
     # the suite's conftest XLA_FLAGS (8 virtual devices) must not leak into
     # the children, which set their own device counts
@@ -134,6 +189,51 @@ def test_multiprocess_training_matches_single_process(tmp_path):
     assert os.path.exists(os.path.join(mp_out, 'training_1', 'models',
                                        'best_model.msgpack'))
     assert not os.path.exists(os.path.join(mp_out, 'training_2'))
+
+
+@pytest.mark.slow
+def test_multiprocess_halo_matches_single_process(tmp_path):
+    '''Composed halo x multi-process training (SURVEY section 2.3/5 axis
+    layout: 'data' spanning processes, 'graph' over each process's local
+    devices): 2 processes x (data row of 1, graph=2 local devices) must
+    match the single-process (data=2, graph=2) halo run epoch for epoch
+    through the real training CLI -- same global batches, same halo
+    ppermutes inside a process, gradient psum crossing processes.'''
+    root = os.path.join(tmp_path, 'gas_ds')
+    _write_gas_dataset(root)
+    mp_out = os.path.join(tmp_path, 'mp_out')
+    sp_out = os.path.join(tmp_path, 'sp_out')
+    mp_cfg = os.path.join(tmp_path, 'mp_halo.yml')
+    sp_cfg = os.path.join(tmp_path, 'sp_halo.yml')
+    for path, out in ((mp_cfg, mp_out), (sp_cfg, sp_out)):
+        with open(path, 'w') as f:
+            f.write(HALO_CONFIG.format(out=out, root=root, epochs=3))
+
+    _launch_mp(tmp_path, 'mp_halo', mp_cfg)
+
+    env = _clean_env()
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'scripts', 'newtonnet_train.py'),
+         '--config', sp_cfg],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+
+    mp_rows, sp_rows = _read_log(mp_out), _read_log(sp_out)
+    assert len(mp_rows) == len(sp_rows)
+    for a, b in zip(mp_rows, sp_rows):
+        for key in ('train_loss', 'val_loss', 'test_loss',
+                    'train_gradient_force_mae', 'train_energy_mae'):
+            if a.get(key) and b.get(key):
+                np.testing.assert_allclose(
+                    float(a[key]), float(b[key]), rtol=1e-5,
+                    err_msg=f'epoch {a["epoch"]} {key}')
+    # training actually descended and the chief wrote the artifacts
+    e0 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '0']
+    e2 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '2']
+    assert e0 and e2 and e2[0] < e0[0]
+    assert os.path.exists(os.path.join(mp_out, 'training_1', 'models',
+                                       'best_model.msgpack'))
 
 
 @pytest.mark.slow

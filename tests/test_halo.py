@@ -199,9 +199,13 @@ def test_halo_comm_is_boundary_sized():
     text = str(jaxpr)
     assert 'ppermute' in text
     import re
-    for m in re.finditer(r'ppermute\[[^\]]*\] ([a-z]+):[a-z0-9]+\[([0-9,]+)\]',
-                         text):
-        shape = tuple(int(s) for s in m.group(2).split(','))
+    # jaxpr eqn format: "out:f32[B,H,...] = ppermute[...] in" -- the payload
+    # type/shape annotate the LHS binder
+    payloads = re.findall(
+        r'[a-z0-9_]+:[a-z0-9]+\[([0-9,]+)\] = ppermute\[', text)
+    assert payloads, 'no ppermute payload shapes parsed from the jaxpr'
+    for shape_s in payloads:
+        shape = tuple(int(s) for s in shape_s.split(','))
         assert shape[1] == n_halo, f'oversized ppermute payload {shape}'
         assert shape[1] < n_loc, shape
 
@@ -358,6 +362,10 @@ def _ref_train_step(dense, params, tx, jb, weights):
             f_err = (out['gradient_force'] - jb['force']) * amask
             loss += weights['gradient_force'] * jnp.sum(f_err ** 2) \
                 / (3 * jnp.sum(amask))
+        if 'direct_force' in weights:
+            d_err = (out['direct_force'] - jb['force']) * amask
+            loss += weights['direct_force'] * jnp.sum(d_err ** 2) \
+                / (3 * jnp.sum(amask))
         for key in ('stress', 'virial'):
             if key in weights:
                 t_err = (out[key] - jb[key]) * gmask[:, None, None]
@@ -492,6 +500,86 @@ def test_halo_charge_ewald_training_parity(rng):
                     jax.tree.leaves(params_halo)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-5, atol=1e-7)
+
+
+def test_halo_direct_force_training_parity(rng):
+    '''A halo train step with a DIRECT force loss (the reference's
+    DirectForceLoss, ref loss.py:106-149) matches the single-device step:
+    loss, params, and the cos/norm eval decompositions. The config has no
+    gradient_force, so this also covers the derivative-free halo path.'''
+    import optax
+
+    from newtonnet_tpu.train.loss import get_loss_by_string
+
+    B, N = 2, 48
+    n_shards, n_halo = 4, 6
+    batch = _gas(B, N, [48.0, 6.0, 6.0], seed=41, periodic=True)
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'direct_force'])
+    params = _params_for(dense, batch, rng)
+    tx = optax.adam(1e-3)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    weights = {'energy': 1.0, 'direct_force': 20.0}
+    loss_ref, params_ref = _ref_train_step(dense, params, tx, jb, weights)
+
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'direct_force'])
+    mesh = make_mesh(data=2, graph=n_shards)
+    step = make_halo_train_step(
+        nl_model, tx, mesh, n_halo,
+        loss_config={k: {'weight': v} for k, v in weights.items()})
+    sb = shard_halo_batch(jb, mesh)
+    params_halo, _, metrics = step(
+        jax.tree.map(jnp.array, params), tx.init(params), sb)
+
+    np.testing.assert_allclose(float(metrics['loss']), float(loss_ref),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(params_halo)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=1e-7)
+
+    # the cos/norm eval decompositions match the train/loss.py battery
+    # evaluated on the dense single-device predictions
+    _, eval_loss = get_loss_by_string(
+        {k: {'weight': v} for k, v in weights.items()})
+    ref_metrics = eval_loss(dense.apply(params, jb['z'], jb['pos'],
+                                        jb['cell']), jb)
+    for key in ('direct_force_mae', 'direct_force_mse',
+                'direct_force_cos_mae', 'direct_force_cos_mse',
+                'direct_force_norm_mae', 'direct_force_norm_mse'):
+        np.testing.assert_allclose(float(metrics[key]),
+                                   float(ref_metrics[key]),
+                                   rtol=2e-5, err_msg=key)
+
+
+def test_halo_second_derivative_heads_rejected():
+    '''hessian/bec heads under halo raise loudly with the documented
+    rationale (their derivative lanes couple atoms beyond the one-ring
+    halo) instead of silently training something else.'''
+    import optax
+    mesh = make_mesh(data=2, graph=4)
+    for head in ('hessian', 'bec'):
+        props = ['energy', head] if head == 'hessian' else \
+            ['charge', 'energy', head]
+        model = NewtonNet(graph_mode='neighborlist', k_max=8, n_features=8,
+                          n_basis=4, n_interactions=1,
+                          ewald_mode='periodic', output_properties=props)
+        with pytest.raises(ValueError, match='second-derivative'):
+            make_halo_train_step(model, optax.adam(1e-3), mesh, n_halo=4,
+                                 loss_config={'energy': {}})
+    # direct_force in the loss needs the head on the model
+    model = NewtonNet(graph_mode='neighborlist', k_max=8, n_features=8,
+                      n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    with pytest.raises(ValueError, match='direct_force head'):
+        make_halo_train_step(model, optax.adam(1e-3), mesh, n_halo=4,
+                             loss_config={'energy': {},
+                                          'direct_force': {}})
 
 
 def test_halo_charge_requires_periodic_ewald():

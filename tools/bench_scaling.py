@@ -50,7 +50,190 @@ def parse_args():
     p.add_argument('--out', default=None, help='markdown report path')
     p.add_argument('--n-features', type=int, default=64)
     p.add_argument('--n-interactions', type=int, default=3)
+    p.add_argument('--predict', action='store_true',
+                   help='pod-efficiency prediction: program-derived '
+                        'communication volumes + an analytic ICI/DCN '
+                        'bandwidth model (no hardware needed; see '
+                        'SCALING.md "Predicted pod efficiency")')
     return p.parse_args()
+
+
+# ------------------------------------------------------------------ #
+# Pod-efficiency prediction (BASELINE.md >= 80% clause): everything this
+# one-chip environment CAN produce -- measured single-chip step times
+# (PERF_NOTES.md / BENCH_r03.json), program-derived per-step communication
+# volumes, and public v5e interconnect figures -- combined into predicted
+# parallel efficiency vs device count. tools/bench_scaling.py without
+# --predict measures the same efficiencies for real on actual hardware.
+
+# public TPU v5e figures (jax-ml.github.io/scaling-book: ICI one-way
+# bandwidth per link 4.5e10 B/s, 4 links/chip in the 2D torus; DCN ~2.5e10
+# B/s per host, 8 chips per v5e host)
+ICI_LINK_BW = 45e9          # bytes/s, one way, per link
+DCN_HOST_BW = 25e9          # bytes/s per host
+CHIPS_PER_HOST = 8
+
+
+def _dtype_bytes(code):
+    return {'f32': 4, 'f16': 2, 'bf16': 2, 'f64': 8, 'i32': 4, 'u32': 4,
+            'i16': 2, 'i8': 1, 'u8': 1, 'bool': 1, 'i64': 8, 'f8': 1}.get(
+                code, 4)
+
+
+def collective_bytes(fn, *args):
+    '''Per-shard, per-call payload bytes of every ppermute / psum in the
+    jaxpr of `fn` -- the program-derived communication volume (the same
+    program-inspection approach tests/test_halo.py::
+    test_halo_comm_is_boundary_sized asserts boundary-sizing with).'''
+    import re
+
+    import jax
+    text = str(jax.make_jaxpr(fn)(*args))
+    out = {'ppermute': 0, 'psum': 0}
+    # jaxpr eqn format: "out1:f32[1,640,512] out2:... = ppermute[...] in"
+    for lhs, prim in re.findall(
+            r'((?:[a-z0-9_]+:[a-z0-9]+\[[0-9,]*\] )+)= (ppermute|psum)\[',
+            text):
+        for dt, shape in re.findall(r':([a-z0-9]+)\[([0-9,]*)\]', lhs):
+            n = 1
+            for s in shape.split(','):
+                if s:
+                    n *= int(s)
+            out[prim] += n * _dtype_bytes(dt)
+    assert out['ppermute'] or out['psum'], \
+        'no collectives found -- jaxpr text format changed?'
+    return out
+
+
+def _allreduce_ms(payload_bytes, n_chips):
+    '''Bidirectional-ring all-reduce time over ICI, hierarchical over DCN.
+
+    Within a host (or pod slice): t = 2 * P * (D-1)/D / (2 * ICI_LINK_BW)
+    (reduce-scatter + all-gather, both ICI directions busy). Across hosts:
+    reduce within host over ICI first, then ring all-reduce of the full
+    payload between hosts over DCN, then broadcast down -- the DCN stage
+    moves 2 * P * (H-1)/H bytes per host.
+    '''
+    d = min(n_chips, CHIPS_PER_HOST)
+    t = 2.0 * payload_bytes * (d - 1) / d / (2.0 * ICI_LINK_BW)
+    hosts = max(1, n_chips // CHIPS_PER_HOST)
+    if hosts > 1:
+        t += 2.0 * payload_bytes * (hosts - 1) / hosts / DCN_HOST_BW
+    return t * 1e3
+
+
+def predict_pod_efficiency(args, out_path=None):
+    '''Predicted parallel efficiency vs chip count for the measured
+    configurations. Prints one JSON line per scenario/device-count and
+    returns the rows.'''
+    os.environ.setdefault(
+        'XLA_FLAGS', '--xla_force_host_platform_device_count=2')
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import jax.numpy as jnp
+    import numpy as np
+
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.parallel import make_mesh, make_halo_train_step, \
+        shard_halo_batch, spatial_sort
+
+    # ---- measured single-chip step times (ms) ----
+    # dense MD17 headline: BENCH_r03.json (driver-captured, B=100/chip);
+    # large-N: PERF_NOTES round-3 battery (N=4096, newton3, scan-chunked)
+    T_DENSE_B100 = 5.25
+    T_DENSE_B10 = 0.66    # B=10/chip: the reference's own batch size;
+    # step time scales ~linearly in B on the HBM-bound dense path
+    T_LARGEN = 52.6
+
+    # ---- gradient all-reduce payload: the parameter pytree ----
+    model = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
+                      n_interactions=3,
+                      output_properties=['energy', 'gradient_force'])
+    z = jnp.ones((1, 21), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), z,
+                                 jnp.zeros((1, 21, 3), jnp.float32),
+                                 jnp.zeros((1, 3, 3), jnp.float32))
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(params))
+
+    # ---- halo-exchange payload: derived from the sharded program ----
+    # production-class halo config: N=4096 atoms/shard at liquid density
+    # (rho ~= 0.1 A^-3 -> ~34.5 A slab width per shard), H = atoms within
+    # the 5 A boundary layer (~640), F=128, 3 layers
+    import optax
+    n_loc, H, F = 4096, 640, 128
+    nl_model = NewtonNet(cutoff=5.0, n_features=F, n_basis=20,
+                         n_interactions=3, graph_mode='neighborlist',
+                         k_max=48,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=1, graph=2, devices=jax.devices()[:2])
+    N = 2 * n_loc
+    rs = np.random.RandomState(0)
+    zh = rs.choice([1, 6, 8], size=(1, N)).astype(np.int32)
+    box = np.asarray([2 * 34.5, 34.5, 34.5])
+    ph = (rs.rand(1, N, 3) * box).astype(np.float32)
+    cellh = np.broadcast_to(np.diag(box), (1, 3, 3)).astype(np.float32)
+    zh, ph, _ = spatial_sort(zh, ph, cellh, n_shards=2)
+    batch = {'z': jnp.asarray(zh), 'pos': jnp.asarray(ph, jnp.float32),
+             'cell': jnp.asarray(cellh),
+             'energy': jnp.zeros((1,), jnp.float32),
+             'force': jnp.zeros((1, N, 3), jnp.float32),
+             'graph_mask': jnp.ones((1,), bool)}
+    hparams = jax.eval_shape(
+        lambda k: nl_model.core.init(k, batch['z'], batch['pos'],
+                                     batch['cell']),
+        jax.random.PRNGKey(0))
+    hparams = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), hparams)
+    tx = optax.adam(1e-3)
+    step = make_halo_train_step(nl_model, tx, mesh, n_halo=H)
+    sb = shard_halo_batch(batch, mesh)
+    comm = collective_bytes(
+        lambda p, o, b: step(p, o, b), hparams, tx.init(hparams), sb)
+    halo_ppermute_bytes = comm['ppermute']
+    halo_psum_bytes = comm['psum']
+
+    rows = []
+
+    def emit(scenario, t_comp_ms, chips_list, comm_ms_fn, note):
+        for c in chips_list:
+            t_comm = comm_ms_fn(c)
+            eff = 100.0 * t_comp_ms / (t_comp_ms + t_comm)
+            row = {'scenario': scenario, 'chips': c,
+                   't_comp_ms': round(t_comp_ms, 3),
+                   't_comm_ms': round(t_comm, 4),
+                   'predicted_efficiency_pct': round(eff, 1), 'note': note}
+            rows.append(row)
+            print(json.dumps(row))
+
+    chips = [8, 64, 256]
+    emit('dense-dp-B100/chip', T_DENSE_B100, chips,
+         lambda c: _allreduce_ms(param_bytes, c),
+         f'grad all-reduce {param_bytes / 1e6:.2f} MB (param pytree)')
+    emit('dense-dp-B10/chip', T_DENSE_B10, chips,
+         lambda c: _allreduce_ms(param_bytes, c),
+         'reference batch size; the near-threshold DP case')
+    emit('largeN-dp-N4096/chip', T_LARGEN, chips,
+         lambda c: _allreduce_ms(param_bytes, c),
+         'newton3 train step, PERF_NOTES round-3 battery')
+    # halo: ring exchanges ride both ICI directions concurrently; the
+    # per-shard per-step one-way payload is half the total ppermute bytes.
+    # Compute per shard stays ~T_LARGEN (4096 atoms/shard weak scaling);
+    # the gradient all-reduce (graph axis) adds param_bytes like DP.
+    emit('largeN-halo-N4096/shard', T_LARGEN, chips,
+         lambda c: (halo_ppermute_bytes / 2.0 / ICI_LINK_BW * 1e3
+                    + _allreduce_ms(param_bytes + halo_psum_bytes, c)),
+         f'halo ppermutes {halo_ppermute_bytes / 1e6:.2f} MB/step/shard '
+         f'(program-derived), psums {halo_psum_bytes / 1e6:.2f} MB')
+
+    print(json.dumps({
+        'param_bytes': param_bytes,
+        'halo_ppermute_bytes_per_step_per_shard': halo_ppermute_bytes,
+        'halo_psum_bytes_per_step_per_shard': halo_psum_bytes,
+        'assumptions': {
+            'ici_link_bw_Bps': ICI_LINK_BW, 'dcn_host_bw_Bps': DCN_HOST_BW,
+            'chips_per_host': CHIPS_PER_HOST,
+            'overlap': 'none (pessimistic: comm fully exposed)'}}))
+    return rows
 
 
 def orchestrate_processes(args):
@@ -117,6 +300,9 @@ def orchestrate_processes(args):
 
 def main():
     args = parse_args()
+    if args.predict:
+        predict_pod_efficiency(args, out_path=args.out)
+        return
     if args.processes > 1 and 'NEWTONNET_DIST_NPROCS' not in os.environ:
         orchestrate_processes(args)
         return
