@@ -110,12 +110,21 @@ class NewtonNetCalculator:
         return load_model(path)
 
     # ------------------------------------------------------------------ #
-    def _fn(self, n_pad):
-        if n_pad not in self._compiled:
+    def _fn(self, n_pad, periodic=True):
+        # charge-head models in ewald_mode='auto' would compile BOTH Ewald
+        # branches; the system's periodicity is known statically here, so
+        # resolve the single branch (models/output.py with_ewald_mode).
+        # The jit cache keys on periodicity only when it matters.
+        dispatch = getattr(self.model, 'ewald_dispatches_at_runtime', False)
+        key = (n_pad, periodic) if dispatch else n_pad
+        if key not in self._compiled:
             # full-fp32 matmul passes by default: MD force consistency
             # (bf16 round-off heats the thermostat, see md/driver.py);
             # ensemble members are averaged inside the same jit
             models = [self.model] + [m for m, _ in self._ensemble]
+            if dispatch:
+                mode = 'periodic' if periodic else 'aperiodic'
+                models = [m.with_ewald_mode(mode) for m in models]
 
             def apply(all_params, z, pos, cell, nlist=None):
                 with jax.default_matmul_precision(self.matmul_precision):
@@ -126,8 +135,8 @@ class NewtonNetCalculator:
                 keys = set(outs[0]) & set(outs[-1])
                 return {k: sum(o[k] for o in outs) / len(outs)
                         for k in keys}
-            self._compiled[n_pad] = jax.jit(apply)
-        return self._compiled[n_pad]
+            self._compiled[key] = jax.jit(apply)
+        return self._compiled[key]
 
     def calculate(self, system=None, numbers=None, positions=None, cell=None):
         '''Run the model on one system.
@@ -158,8 +167,10 @@ class NewtonNetCalculator:
             # coloring (native C++) is cheap next to a model evaluation
             from newtonnet_tpu.md.driver import host_symmetric_nlist
             nlist = host_symmetric_nlist(self.model, z, pos, c, skin=0.0)
-        out = self._fn(n_pad)(all_params, jnp.asarray(z), jnp.asarray(pos),
-                              jnp.asarray(c), nlist)
+        periodic = bool(np.any(c))
+        out = self._fn(n_pad, periodic)(all_params, jnp.asarray(z),
+                                        jnp.asarray(pos), jnp.asarray(c),
+                                        nlist)
         out = jax.device_get(out)
 
         results = {}

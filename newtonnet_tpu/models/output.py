@@ -156,6 +156,44 @@ class NewtonNet:
             trainable_basis=trainable_basis, param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
+    def with_ewald_mode(self, mode):
+        '''Clone with a statically resolved ewald_mode.
+
+        ewald_mode='auto' (the constructor default) is per-graph runtime
+        dispatch: it computes BOTH Ewald branches (reciprocal-space and
+        direct-space, ops/ewald.ewald_energy) every energy evaluation and
+        selects with a `where`. That is correct for genuinely mixed
+        batches but pays for the unused branch when the data is statically
+        all-periodic or all-aperiodic. This returns a model identical to
+        self but with the single matching branch compiled
+        ('periodic'/'aperiodic'); the Ewald sum is parameter-free, so the
+        SAME params pytree applies unchanged.
+
+        No-op (returns self) when the model has no charge head or already
+        has a static mode. Resolution points across the framework:
+        the training CLI resolves from dataset periodicity
+        (scripts/newtonnet_train.py), the MD calculator resolves per
+        system's cell (md/calculator.py), AOT export takes a `periodic`
+        argument (utils/export.py), and halo training requires 'periodic'
+        explicitly (parallel/halo.py).
+        '''
+        if mode not in ('periodic', 'aperiodic'):
+            raise ValueError(
+                f"ewald mode must be 'periodic' or 'aperiodic', got {mode!r}")
+        if 'charge' not in self._needs or self.ewald_mode != 'auto':
+            return self
+        cfg = self.config_dict()
+        cfg['ewald_mode'] = mode
+        return type(self)(param_dtype=self.param_dtype, **cfg)
+
+    @property
+    def ewald_dispatches_at_runtime(self):
+        '''True when apply() compiles BOTH Ewald branches (see
+        with_ewald_mode); consumers that know the data's periodicity
+        statically should resolve first.'''
+        return 'charge' in self._needs and self.ewald_mode == 'auto'
+
+    # ------------------------------------------------------------------ #
     def init(self, rng, z, pos, cell):
         '''Initialize the parameter pytree from example (batched) inputs.
 

@@ -190,6 +190,10 @@ def ewald_energy(charge, pos, cell, atom_mask, sigma=1.0, n_k=8,
                      branches and selects with `where`. Correct for mixed
                      batches, but pays for the unused branch -- set the
                      static mode when the dataset's periodicity is known.
+                     Library resolution points: NewtonNet.with_ewald_mode
+                     clones a model onto the static branch (the CLI, MD
+                     calculator, and AOT export all resolve automatically
+                     -- see models/output.py with_ewald_mode docstring).
     '''
     if mode == 'periodic':
         return ewald_energy_periodic(charge, pos, cell, atom_mask,

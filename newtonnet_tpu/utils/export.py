@@ -36,7 +36,7 @@ def _round_up(x, m=8):
 
 def export_inference(model, params, n_atoms, batch_size=1, properties=None,
                      dtype='float32', matmul_precision='highest',
-                     platforms=None):
+                     platforms=None, periodic=None):
     '''Lower + serialize the inference step for serving.
 
     Args:
@@ -53,6 +53,12 @@ def export_inference(model, params, n_atoms, batch_size=1, properties=None,
             ('highest' keeps MD-grade force consistency, see md/driver.py).
         platforms: lowering platforms, e.g. ['cpu', 'tpu']. Default: the
             current jax backend only.
+        periodic: True/False statically resolves a charge-head model's
+            ewald_mode='auto' to the single matching Ewald branch before
+            lowering (models/output.py with_ewald_mode) -- an AOT artifact
+            serves one deployment, which is all-periodic or all-aperiodic
+            in practice. None keeps the model's own mode (an 'auto' model
+            bakes BOTH branches and dispatches per call).
 
     Returns:
         (header dict, artifact bytes blob) -- use save_serving_artifact to
@@ -64,6 +70,9 @@ def export_inference(model, params, n_atoms, batch_size=1, properties=None,
 
     from newtonnet_tpu.layers.precision import get_precision_by_string
 
+    if periodic is not None and hasattr(model, 'with_ewald_mode'):
+        model = model.with_ewald_mode('periodic' if periodic
+                                      else 'aperiodic')
     props = list(properties or model.output_properties)
     missing = [p for p in props if p not in model.output_properties]
     if missing:

@@ -36,6 +36,12 @@ def main(argv=None):
                     help="pin the jax backend (the axon plugin ignores the "
                          "JAX_PLATFORMS env var, so use '--device cpu' to "
                          "export CPU artifacts on a TPU box)")
+    ap.add_argument('--periodic', action='store_true', default=None,
+                    help="statically resolve a charge-head model's "
+                         "ewald_mode='auto' to the periodic branch "
+                         "(single-branch artifact)")
+    ap.add_argument('--aperiodic', dest='periodic', action='store_false',
+                    help='resolve to the aperiodic branch instead')
     args = ap.parse_args(argv)
 
     if args.device:
@@ -54,7 +60,8 @@ def main(argv=None):
     header, blob = export_inference(
         model, params, n_atoms=args.n_atoms, batch_size=args.batch,
         properties=args.properties, dtype=args.dtype,
-        matmul_precision=args.matmul_precision, platforms=args.platforms)
+        matmul_precision=args.matmul_precision, platforms=args.platforms,
+        periodic=args.periodic)
     save_serving_artifact(args.out, header, blob)
     print(f'wrote {args.out}: {os.path.getsize(args.out)} bytes, '
           f'B={header["batch_size"]} n_pad={header["n_pad"]} '

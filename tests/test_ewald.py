@@ -7,6 +7,8 @@ the reconstruction (ops/ewald.py) is validated against physics:
   * k-space convergence;
   * BEC: acoustic sum rule for neutral systems + charge consistency.
 '''
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -395,3 +397,122 @@ def test_sharded_ewald_matches_unsharded():
     for a, b in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-13)
+
+
+# ------------------------------------------------------------------ #
+# static ewald_mode resolution (models/output.py with_ewald_mode)
+
+
+def _charge_model(**kw):
+    from newtonnet_tpu.models import NewtonNet
+    return NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                     output_properties=['charge', 'energy'],
+                     ewald_n_k=4, **kw)  # (2*4+1)^3 = 729 k-modes marker
+
+
+def test_with_ewald_mode_compiles_single_branch(rng):
+    '''ewald_mode='auto' compiles BOTH Ewald branches; with_ewald_mode
+    resolves the single static branch at trace time. Markers in the
+    lowered HLO: 'erf' appears only in the aperiodic (direct-space
+    smeared Coulomb) branch, the 729-mode k-lattice only in the periodic
+    reciprocal sum.'''
+    model = _charge_model()
+    assert model.ewald_dispatches_at_runtime
+    z = jnp.ones((1, 8), jnp.int32)
+    pos = jnp.asarray(np.random.RandomState(0).rand(1, 8, 3) * 4.0,
+                      jnp.float32)
+    cell = jnp.asarray(np.diag([6.0, 6.0, 6.0])[None], jnp.float32)
+    params = model.init(rng, z, pos, cell)
+
+    def hlo(m):
+        return jax.jit(
+            lambda p, z_, x, c: m.apply(p, z_, x, c)['energy']).lower(
+                params, z, pos, cell).as_text()
+
+    auto, per, aper = (hlo(model), hlo(model.with_ewald_mode('periodic')),
+                       hlo(model.with_ewald_mode('aperiodic')))
+
+    def has_klattice(text):
+        # the 729-mode k-lattice appears as a tensor DIMENSION
+        # (tensor<..x729x..>); a bare '729' substring could also match
+        # digits inside a printed weight constant
+        return re.search(r'[<x]729x', text) is not None
+
+    assert 'erf' in auto and has_klattice(auto)      # both branches
+    assert 'erf' not in per and has_klattice(per)    # single: periodic
+    assert 'erf' in aper and not has_klattice(aper)  # single: aperiodic
+
+    # the SAME params apply to the resolved models, and each static branch
+    # reproduces the auto dispatch on matching data
+    e_auto_p = model.apply(params, z, pos, cell)['energy']
+    e_per = model.with_ewald_mode('periodic').apply(params, z, pos,
+                                                    cell)['energy']
+    np.testing.assert_allclose(np.asarray(e_per), np.asarray(e_auto_p),
+                               rtol=1e-12)
+    zero = jnp.zeros_like(cell)
+    e_auto_a = model.apply(params, z, pos, zero)['energy']
+    e_aper = model.with_ewald_mode('aperiodic').apply(params, z, pos,
+                                                      zero)['energy']
+    np.testing.assert_allclose(np.asarray(e_aper), np.asarray(e_auto_a),
+                               rtol=1e-12)
+
+    # no-ops: static modes and chargeless models return self
+    assert model.with_ewald_mode('periodic').with_ewald_mode(
+        'aperiodic').ewald_mode == 'periodic'
+    from newtonnet_tpu.models import NewtonNet
+    plain = NewtonNet(n_features=8, n_basis=4, n_interactions=1,
+                      output_properties=['energy'])
+    assert plain.with_ewald_mode('periodic') is plain
+    with pytest.raises(ValueError, match='periodic'):
+        model.with_ewald_mode('bogus')
+
+
+def test_calculator_resolves_ewald_mode_per_system(rng):
+    '''The MD calculator picks the static Ewald branch from the system's
+    cell instead of paying the dual-branch 'auto' cost (library-path
+    counterpart of the CLI's dataset-periodicity auto-select).'''
+    from newtonnet_tpu.md.calculator import NewtonNetCalculator
+    from newtonnet_tpu.md.system import System
+
+    model = _charge_model()
+    rs = np.random.RandomState(1)
+    numbers = [8, 1, 1, 6, 1, 1]
+    pos = rs.rand(6, 3) * 3.0
+    z = jnp.asarray(np.pad(numbers, (0, 2))[None])
+    params = model.init(rng, z, jnp.zeros((1, 8, 3)), jnp.zeros((1, 3, 3)))
+
+    calc = NewtonNetCalculator(model=model, params=params,
+                               properties=['energy', 'charges'])
+    out_a = calc.calculate(System(numbers, pos))
+    out_p = calc.calculate(System(numbers, pos, cell=np.diag([9.] * 3),
+                                  pbc=[True] * 3))
+    # cache keyed on periodicity; each entry compiled the resolved branch
+    assert (8, False) in calc._compiled and (8, True) in calc._compiled
+    # parity with the auto-dispatch model on the same padded inputs
+    ref_a = model.apply(params, z, jnp.asarray(np.pad(
+        pos, ((0, 2), (0, 0)))[None], jnp.float32),
+        jnp.zeros((1, 3, 3)))['energy']
+    np.testing.assert_allclose(out_a['energy'], float(ref_a[0]), rtol=1e-5)
+    assert np.isfinite(out_p['energy'])
+    assert out_a['charges'].shape == (6,)
+
+
+def test_export_periodic_resolves_single_branch(rng, tmp_path):
+    '''export_inference(periodic=...) bakes the single Ewald branch into
+    the AOT artifact.'''
+    from newtonnet_tpu.utils.export import export_inference
+
+    model = _charge_model()
+    z = jnp.ones((1, 8), jnp.int32)
+    params = model.init(rng, z, jnp.zeros((1, 8, 3)), jnp.zeros((1, 3, 3)))
+    _, blob_p = export_inference(model, params, n_atoms=8,
+                                 properties=['energy'], periodic=True)
+    _, blob_a = export_inference(model, params, n_atoms=8,
+                                 properties=['energy'], periodic=False)
+    from jax import export as jax_export
+    mlir_p = jax_export.deserialize(blob_p).mlir_module()
+    mlir_a = jax_export.deserialize(blob_a).mlir_module()
+    # dimension-form marker (see test above): bare '729' can occur inside
+    # printed weight constants
+    assert 'erf' not in mlir_p and re.search(r'[<x]729x', mlir_p)
+    assert 'erf' in mlir_a and not re.search(r'[<x]729x', mlir_a)
