@@ -438,9 +438,14 @@ def test_with_ewald_mode_compiles_single_branch(rng):
         # digits inside a printed weight constant
         return re.search(r'[<x]729x', text) is not None
 
-    assert 'erf' in auto and has_klattice(auto)      # both branches
-    assert 'erf' not in per and has_klattice(per)    # single: periodic
-    assert 'erf' in aper and not has_klattice(aper)  # single: aperiodic
+    def has_erf(text):
+        # the op token ('mhlo.erf' / 'jit(..)/erf'); a bare substring test
+        # would also hit 'interface' inside MLIR loc() debug paths
+        return re.search(r'\berf\b', text) is not None
+
+    assert has_erf(auto) and has_klattice(auto)      # both branches
+    assert not has_erf(per) and has_klattice(per)    # single: periodic
+    assert has_erf(aper) and not has_klattice(aper)  # single: aperiodic
 
     # the SAME params apply to the resolved models, and each static branch
     # reproduces the auto dispatch on matching data
@@ -512,7 +517,9 @@ def test_export_periodic_resolves_single_branch(rng, tmp_path):
     from jax import export as jax_export
     mlir_p = jax_export.deserialize(blob_p).mlir_module()
     mlir_a = jax_export.deserialize(blob_a).mlir_module()
-    # dimension-form marker (see test above): bare '729' can occur inside
-    # printed weight constants
-    assert 'erf' not in mlir_p and re.search(r'[<x]729x', mlir_p)
-    assert 'erf' in mlir_a and not re.search(r'[<x]729x', mlir_a)
+    # word/dimension-form markers (see test above): bare substrings also
+    # hit printed weight constants ('729') and loc() paths ('interface')
+    assert not re.search(r'\berf\b', mlir_p) and re.search(r'[<x]729x',
+                                                            mlir_p)
+    assert re.search(r'\berf\b', mlir_a) and not re.search(r'[<x]729x',
+                                                            mlir_a)
