@@ -61,4 +61,9 @@ run demo_large_md python -u tools/demo_large_md.py 4096 60
 # 6. the headline bench
 run bench python -u bench.py
 
+# 7. round-4 instruments: row-op floor accounting for the newton3 train
+#    step and the dense-headline residual decomposition
+run floor_train_large python -u tools/floor_train_large.py 4096
+run ablate_dense_residual python -u tools/ablate_dense_residual.py
+
 echo "battery complete at $(date); logs in $OUT"
