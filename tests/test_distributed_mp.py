@@ -84,6 +84,7 @@ training:
   loss:
     energy: {{weight: 1.0}}
     gradient_force: {{weight: 50.0}}
+    stress: {{weight: 10.0}}
   optimizer:
     adam: {{lr: 0.001}}
 '''
@@ -92,7 +93,10 @@ training:
 def _write_gas_dataset(root, n_frames=24, n_atoms=48, seed=5):
     '''Periodic random-gas frames in a long [48, 6, 6] box -- wide enough
     along x for a 2-shard slab decomposition at cutoff 3 (the same
-    configuration class as tests/test_halo.py).'''
+    configuration class as tests/test_halo.py). Carries stress labels so
+    the composed halo x multi-process run covers the generalized loss
+    battery (per-graph tensor labels ride P('data') through
+    global_data_batch's halo specs).'''
     from newtonnet_tpu.data.xyz import Frame, write_extxyz
     rs = np.random.RandomState(seed)
     box = np.diag([48.0, 6.0, 6.0])
@@ -100,9 +104,11 @@ def _write_gas_dataset(root, n_frames=24, n_atoms=48, seed=5):
     for _ in range(n_frames):
         numbers = rs.choice([1, 6, 8], size=n_atoms)
         pos = rs.rand(n_atoms, 3) * np.diag(box)
+        s = rs.randn(3, 3) * 1e-2
         frames.append(Frame(numbers=numbers, positions=pos, cell=box,
                             pbc=[True] * 3, energy=float(rs.randn()),
-                            forces=rs.randn(n_atoms, 3)))
+                            forces=rs.randn(n_atoms, 3),
+                            stress=0.5 * (s + s.T)))
     os.makedirs(os.path.join(root, 'raw'), exist_ok=True)
     write_extxyz(os.path.join(root, 'raw', 'gas.xyz'), frames)
 
@@ -223,11 +229,14 @@ def test_multiprocess_halo_matches_single_process(tmp_path):
     assert len(mp_rows) == len(sp_rows)
     for a, b in zip(mp_rows, sp_rows):
         for key in ('train_loss', 'val_loss', 'test_loss',
-                    'train_gradient_force_mae', 'train_energy_mae'):
+                    'train_gradient_force_mae', 'train_energy_mae',
+                    'train_stress_mae'):
             if a.get(key) and b.get(key):
                 np.testing.assert_allclose(
                     float(a[key]), float(b[key]), rtol=1e-5,
                     err_msg=f'epoch {a["epoch"]} {key}')
+    # the stress battery actually flowed through the composed run
+    assert any(r.get('train_stress_mae') for r in mp_rows)
     # training actually descended and the chief wrote the artifacts
     e0 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '0']
     e2 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '2']
