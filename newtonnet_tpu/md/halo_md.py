@@ -169,13 +169,21 @@ def run_md_halo(model, params, system, mesh, n_halo, *, timestep, n_steps,
         raise ValueError('n_steps must be divisible by resort_every')
     core = _halo_core(model, graph_axis, n_halo, mesh)
     n_shards = mesh.shape[graph_axis]
+    # multi-process pods: the graph axis SPANS processes (one system across
+    # hosts -- unlike training, where 'data' is the cross-process axis).
+    # Every process runs this identical host loop (same seeds, same sort);
+    # global arrays are assembled per process via make_array_from_callback
+    # and chunk outputs re-assembled with process_allgather. Halo ppermutes
+    # that cross a process boundary ride DCN there -- still boundary-sized.
+    multiproc = jax.process_count() > 1
 
     n_real = len(system)
     pad = (-n_real) % n_shards
     # pre-pad once so every re-sort sees the same static shapes; the tag
     # row rides along through each sort to invert the permutation at the
     # end (padding tags are -1, never written back)
-    z = np.concatenate([system.numbers, np.zeros(pad, np.int32)])[None]
+    z = np.concatenate([system.numbers,
+                        np.zeros(pad, np.int32)])[None].astype(np.int32)
     pos = np.concatenate(
         [system.positions, np.zeros((pad, 3))])[None].astype(dtype)
     vel = np.concatenate(
@@ -187,17 +195,43 @@ def run_md_halo(model, params, system, mesh, n_halo, *, timestep, n_steps,
     cell = np.asarray(system.cell, dtype=dtype)[None]
     periodic = bool(np.any(cell != 0))
 
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    repl = NamedSharding(mesh, P())
+    if multiproc:
+        # committed process-local arrays cannot reshard across processes;
+        # enter the global mesh from host values as replicated arrays
+        params = jax.device_put(
+            jax.tree.map(lambda x: np.asarray(jax.device_get(x), dtype),
+                         params), repl)
+        scalars = jax.device_put(
+            np.asarray([timestep, kB * (temperature_K or 0.0),
+                        friction or 0.0], dtype), repl)
+    else:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        scalars = jnp.asarray(
+            [timestep, kB * (temperature_K or 0.0), friction or 0.0], dtype)
     chunk_fn = _make_chunk_fn(core, mesh, integrator, graph_axis)
-    scalars = jnp.asarray(
-        [timestep, kB * (temperature_K or 0.0), friction or 0.0], dtype)
 
     specs = {'z': P(None, graph_axis), 'pos': P(None, graph_axis, None),
              'vel': P(None, graph_axis, None), 'masses': P(None, graph_axis),
              'cell': P(None)}
 
     def put(name, x):
-        return jax.device_put(x, NamedSharding(mesh, specs[name]))
+        sh = NamedSharding(mesh, specs[name])
+        if not multiproc:
+            return jax.device_put(x, sh)
+        xh = np.asarray(x)
+        # every process holds the identical full host array; each supplies
+        # exactly its addressable shards
+        return jax.make_array_from_callback(xh.shape, sh,
+                                            lambda idx: xh[idx])
+
+    def fetch(a):
+        # device -> full host value on EVERY process (the re-sort is host
+        # code every process repeats identically)
+        if not multiproc:
+            return np.asarray(a)
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_steps).reshape(
         n_steps // resort_every, resort_every, -1)
@@ -210,7 +244,8 @@ def run_md_halo(model, params, system, mesh, n_halo, *, timestep, n_steps,
                 extra={'vel': vel, 'masses': masses, 'tag': tag},
                 n_shards=n_shards)
             vel, masses, tag = extra['vel'], extra['masses'], extra['tag']
-            masses = np.where(z > 0, masses, 1.0)  # sort pads with 0
+            # sort pads with 0; keep the device dtype stable across paths
+            masses = np.where(z > 0, masses, 1.0).astype(dtype)
             bad = check_halo_capacity(z, pos, cell if periodic else None,
                                       n_shards, n_halo,
                                       model.cutoff + skin)
@@ -220,14 +255,13 @@ def run_md_halo(model, params, system, mesh, n_halo, *, timestep, n_steps,
                     f'within cutoff+skin={model.cutoff + skin:g} of a slab '
                     f'boundary fall outside the n_halo={n_halo} blocks '
                     '(raise n_halo, use fewer graph shards, or shrink skin)')
+            keys_c = (jax.device_put(np.asarray(keys[c]), repl)
+                      if multiproc else jnp.asarray(keys[c]))
             pos_d, vel_d, ep, ek, maxdisp2 = chunk_fn(
-                params, put('z', jnp.asarray(z)),
-                put('pos', jnp.asarray(pos)), put('vel', jnp.asarray(vel)),
-                put('masses', jnp.asarray(masses)),
-                put('cell', jnp.asarray(cell)), jnp.asarray(keys[c]),
-                scalars)
-            pos = np.asarray(pos_d)
-            vel = np.asarray(vel_d)
+                params, put('z', z), put('pos', pos), put('vel', vel),
+                put('masses', masses), put('cell', cell), keys_c, scalars)
+            pos = fetch(pos_d)
+            vel = fetch(vel_d)
             skin_violations += int(float(maxdisp2) > (skin / 2.0) ** 2)
             ep_list.append(np.asarray(ep))
             ek_list.append(np.asarray(ek))

@@ -246,6 +246,55 @@ def test_multiprocess_halo_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_multiprocess_halo_md_matches_single_process(tmp_path):
+    '''Halo-partitioned MD across separate OS processes: the GRAPH axis
+    spans processes here (one system across hosts -- the opposite axis
+    layout from training), so the per-layer halo ppermutes and the force
+    psums cross the process boundary. The trajectory must match the
+    single-process run on the same 4-device mesh (same seeds, same host
+    re-sorts) to floating-point exactness.'''
+    args = ['128', '8', '4', '4', '--aspect', '6.0', '--device', 'cpu',
+            '--seed', '0']
+    sp_out = os.path.join(tmp_path, 'sp.npz')
+    mp_out = os.path.join(tmp_path, 'mp.npz')
+
+    env = _clean_env()
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools', 'demo_halo_md.py'),
+         *args, '--save', sp_out],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+
+    log_dir = os.path.join(tmp_path, 'mdlogs')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tools',
+                                      'launch_distributed.py'),
+         '--nprocs', '2', '--devices-per-proc', '2', '--log-dir', log_dir,
+         '--timeout', '540', '--', sys.executable,
+         os.path.join(REPO, 'tools', 'demo_halo_md.py'), *args,
+         '--save', mp_out],
+        capture_output=True, text=True, timeout=600, env=_clean_env(),
+        cwd=REPO)
+    logs = ''
+    for i in range(2):
+        p = os.path.join(log_dir, f'proc_{i}.log')
+        if os.path.exists(p):
+            with open(p) as f:
+                logs += f'--- proc {i} ---\n' + f.read()[-2000:]
+    assert r.returncode == 0, (r.stderr[-2000:], logs)
+
+    sp, mp = np.load(sp_out), np.load(mp_out)
+    np.testing.assert_allclose(mp['positions'], sp['positions'], atol=1e-12)
+    np.testing.assert_allclose(mp['momenta'], sp['momenta'], atol=1e-12)
+    np.testing.assert_allclose(mp['epot'], sp['epot'], rtol=1e-6)
+    # ekin-derived: the graph-axis psum crosses processes (reduction-order
+    # noise only)
+    np.testing.assert_allclose(mp['temperature'], sp['temperature'],
+                               rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_multiprocess_resume(tmp_path):
     '''A 2-epoch multi-process run resumed (all processes restarted) for a
     third epoch lands where the uninterrupted 3-epoch run (previous test's

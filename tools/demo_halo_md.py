@@ -12,6 +12,13 @@ The reference has no analogue: its MD is one ASE Calculator on one device
 (newtonnet/utils/ase_interface.py:52-81), capped by one GPU's memory.
 
 Usage: demo_halo_md.py [n_atoms] [n_steps] [n_shards] [resort_every]
+       [--aspect AX] [--save OUT.npz] [--seed S]
+
+Multi-process: launch one process per host with NEWTONNET_DIST_* env
+(tools/launch_distributed.py spawns a local set) -- the GRAPH axis then
+spans processes (one system across hosts; halo ppermutes crossing the
+process boundary stay boundary-sized). Every process runs the identical
+host loop; --save writes from the chief only.
 '''
 import os
 import sys
@@ -22,8 +29,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(n_atoms=16384, n_steps=40, n_shards=8, resort_every=10):
+def main(n_atoms=16384, n_steps=40, n_shards=8, resort_every=10,
+         aspect=1.0, save=None, seed=0, device=None):
     import jax
+    if device:
+        # the axon plugin overrides the JAX_PLATFORMS env var; pin the
+        # backend explicitly for virtual-CPU runs (same as export_model.py)
+        jax.config.update('jax_platforms', device)
+
+    from newtonnet_tpu.parallel.distributed import maybe_initialize_from_env
+    if maybe_initialize_from_env():
+        print(f'distributed: process {jax.process_index()}/'
+              f'{jax.process_count()}, {len(jax.devices())} global devices')
     import jax.numpy as jnp
 
     from newtonnet_tpu.data import units
@@ -32,9 +49,11 @@ def main(n_atoms=16384, n_steps=40, n_shards=8, resort_every=10):
     from newtonnet_tpu.models import NewtonNet
     from newtonnet_tpu.parallel import make_mesh
 
-    rs = np.random.RandomState(0)
+    rs = np.random.RandomState(seed)
     L = (n_atoms / 0.1) ** (1 / 3)  # ~0.1 atoms/A^3
-    cell = np.diag([L, L, L])
+    # aspect > 1 elongates x (and shrinks y/z at constant volume): lets
+    # small test systems keep slabs wider than the cutoff
+    cell = np.diag([L * aspect, L / aspect ** 0.5, L / aspect ** 0.5])
     pos = rs.rand(n_atoms, 3) @ cell
     numbers = rs.choice([1, 1, 8], size=n_atoms)
     system = System(numbers, pos, cell=cell, pbc=[True] * 3)
@@ -51,9 +70,10 @@ def main(n_atoms=16384, n_steps=40, n_shards=8, resort_every=10):
 
     mesh = make_mesh(data=1, graph=n_shards)
     n_loc = -(-n_atoms // n_shards)
-    # halo sized for the boundary layer: slab occupies L/n_shards of x, a
+    # halo sized for the boundary layer: slab occupies Lx/n_shards of x, a
     # (cutoff+skin)-thick boundary at this density holds ~rho*(c+s)*Ly*Lz
-    n_halo = min(n_loc, int(1.6 * 0.1 * (5.0 + 1.0) * L * L))
+    n_halo = min(n_loc, max(8, int(1.6 * 0.1 * (5.0 + 1.0)
+                                   * cell[1, 1] * cell[2, 2])))
     print(f'N={n_atoms}, {n_shards} shards x {n_loc} atoms, n_halo={n_halo}')
 
     kw = dict(timestep=0.5 * units.fs, temperature_K=300,
@@ -73,7 +93,24 @@ def main(n_atoms=16384, n_steps=40, n_shards=8, resort_every=10):
     print(f"T={log['temperature'][-1]:.0f}K, "
           f"skin_violations={log['skin_violations']}, "
           f"Epot finite: {bool(np.isfinite(log['epot']).all())}")
+    if save is not None and jax.process_index() == 0:
+        np.savez(save, positions=system.positions,
+                 momenta=system.momenta, epot=log['epot'],
+                 temperature=log['temperature'])
+        print(f'saved {save}')
 
 
 if __name__ == '__main__':
-    main(*(int(a) for a in sys.argv[1:]))
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('n_atoms', nargs='?', type=int, default=16384)
+    ap.add_argument('n_steps', nargs='?', type=int, default=40)
+    ap.add_argument('n_shards', nargs='?', type=int, default=8)
+    ap.add_argument('resort_every', nargs='?', type=int, default=10)
+    ap.add_argument('--aspect', type=float, default=1.0)
+    ap.add_argument('--save', default=None)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--device', default=None)
+    a = ap.parse_args()
+    main(a.n_atoms, a.n_steps, a.n_shards, a.resort_every,
+         aspect=a.aspect, save=a.save, seed=a.seed, device=a.device)
