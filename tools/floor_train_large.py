@@ -149,7 +149,6 @@ def main(n_atoms=4096):
     print('\ngather-family op census (compiled HLO, post-CSE):')
     print(f'{"kind":20s} {"shape":22s} {"count":>5s} {"rows":>12s} '
           f'{"bytes":>10s}')
-    total_row_bytes = 0
     groups = []
     for kind, dtb, shape, count in cens:
         if np.prod(shape) * dtb < 1 << 20:  # skip sub-MB ops (list setup)
@@ -157,7 +156,6 @@ def main(n_atoms=4096):
         # rows = product of all dims except the trailing payload dim
         rows = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
         byts = int(np.prod(shape)) * dtb * count
-        total_row_bytes += byts
         groups.append((kind, dtb, shape, count, rows))
         print(f'{kind:20s} {str(shape):22s} {count:5d} {rows * count:12d} '
               f'{byts / 1e6:8.1f}MB')
