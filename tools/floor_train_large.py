@@ -3,20 +3,21 @@
 (VERDICT round-3 directive #2: close the step to >= 5 M edges/s or bound it).
 
 Method: the step is not FLOP-bound (XLA cost analysis reports ~0.3 TFLOP =
-~2 ms at bf16 peak against ~50+ ms measured) and not purely
-bandwidth-bound either -- its hot ops are per-ROW-overhead-bound gathers
-and gather-formulated scatters (PERF_NOTES.md: ~11-18 ns/row regardless of
-width up to 2 KB). So the defensible floor is:
+~2 ms at bf16 peak against ~50+ ms measured), and XLA's "bytes accessed"
+OVERSTATES real HBM traffic post-fusion (its implied time exceeds the
+measured step), so neither FLOPs/peak nor bytes/BW is a valid bound. The
+defensible floor is the program's own gather/scatter ROW OPERATIONS:
 
-    T_floor = T_rows + T_residual_bytes
-    T_rows  = sum over the compiled program's gather-family ops of
-              rows(op) * ns_per_row(measured at that op's exact shape)
-    T_residual_bytes = (bytes_accessed - bytes moved by those row ops)
-                       / HBM bandwidth
+  1. census the gather-family ops of the COMPILED HLO (post-CSE/fusion:
+     what the chip actually executes, not what the jaxpr asks for);
+  2. measure ns/row for each (rows, width) class in the same process;
+  3. EXECUTE exactly the census's ops back-to-back in one jit -- the
+     empirical row-op floor (dependency-free, so XLA pipelines them;
+     the real step cannot be faster than its own row ops run alone).
 
-where the op census comes from the COMPILED HLO (post-CSE/fusion: what the
-chip actually executes, not what the jaxpr asks for), and ns_per_row is
-re-measured in the same process at the exact (rows, width) shapes.
+The analytic rows x ns/row figure is also printed but undercounts the
+scatter-sum scan internals (while-loop trip counts are invisible in the
+HLO text); the empirical program is the authoritative floor.
 
 Usage:  python tools/floor_train_large.py [n_atoms]
 '''
@@ -173,7 +174,6 @@ def main(n_atoms=4096):
 
     B, K, N = idxj.shape[0], k2, n_atoms
     idx_kn = jnp.swapaxes(idxj, 1, 2)
-    mask_kn = jnp.swapaxes(mj, 1, 2)
     meas = {}
     for width, dtype in ((512, jnp.bfloat16), (128, jnp.bfloat16),
                          (3, jnp.float32)):
