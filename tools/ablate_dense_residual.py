@@ -10,10 +10,7 @@ plus (N, F) node ops" without numbers. This tool measures each piece:
                           dual) executed alone at the bench shapes: the
                           pair-chain share of the step;
   3. program census    -- executed-instruction count of the compiled step
-                          (entry + while bodies), and a measured
-                          per-fusion overhead from a synthetic chain of
-                          dependent (B, N, F)-sized elementwise fusions:
-                          the node-op/bookkeeping share.
+                          (instructions / fusions / custom-calls).
 
 Usage: python tools/ablate_dense_residual.py
 '''
@@ -127,30 +124,6 @@ def main():
     n_custom = len(re.findall(r'custom-call', hlo))
     print(f'compiled step: {n_instr} instructions, {n_fusion} fusions, '
           f'{n_custom} custom-calls (Pallas kernels + infra)')
-
-    # synthetic chain of dependent small fusions at node-op size
-    x = jnp.asarray(np.random.RandomState(0).rand(B, N, 128), jnp.float32)
-
-    def chain(x, n):
-        def step(x, _):
-            # a dependent elementwise+reduce pair XLA keeps as one or two
-            # fusions; dependency prevents batching them together
-            y = jnp.tanh(x) * 1.0001 + 0.1
-            return y - jnp.mean(y) * 1e-6, None
-        y, _ = jax.lax.scan(step, x, None, length=n)
-        return jnp.sum(y)
-
-    for n in (64, 256):
-        f = jax.jit(functools.partial(chain, n=n))
-        v = f(x)
-        jax.block_until_ready(v)
-        t0 = time.perf_counter()
-        for _ in range(20):
-            v = f(x)
-        jax.block_until_ready(v)
-        dt = (time.perf_counter() - t0) / 20
-        print(f'dependent (B,N,F) fusion chain x{n:4d}: {dt * 1e3:7.3f} ms '
-              f'-> {dt / n * 1e6:6.2f} us/fusion-pair')
 
 
 if __name__ == '__main__':
