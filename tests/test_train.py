@@ -152,6 +152,10 @@ def test_dp_sharded_train_step_matches_single_device(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.filterwarnings(
+    # the torch ORACLE intentionally steps its scheduler without an
+    # optimizer.step() (we compare raw lr sequences); silence its nudge
+    'ignore:Detected call of `lr_scheduler.step:UserWarning')
 def test_schedulers_match_torch():
     '''Linear/cosine epoch schedulers track torch's lr sequences.'''
     import torch
