@@ -84,7 +84,8 @@ def tiny_calc(rng):
                       output_properties=['charge', 'energy',
                                          'gradient_force', 'hessian',
                                          'stress', 'bec'])
-    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(jnp.asarray([8, 1, 1]))
+    z = jnp.zeros((1, 8), jnp.int32).at[0, :3].set(
+        jnp.asarray([8, 1, 1], jnp.int32))  # x64 suite: literals are int64
     pos = jax.random.normal(rng, (1, 8, 3))
     params = model.init(rng, z, pos, jnp.zeros((1, 3, 3)))
     return NewtonNetCalculator(
