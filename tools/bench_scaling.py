@@ -116,10 +116,30 @@ def _allreduce_ms(payload_bytes, n_chips):
     '''
     d = min(n_chips, CHIPS_PER_HOST)
     t = 2.0 * payload_bytes * (d - 1) / d / (2.0 * ICI_LINK_BW)
-    hosts = max(1, n_chips // CHIPS_PER_HOST)
+    # ceil: a partial host still adds a DCN stage (12 chips = 2 hosts);
+    # floor would silently drop the cross-host term for ad-hoc counts
+    hosts = max(1, -(-n_chips // CHIPS_PER_HOST))
     if hosts > 1:
         t += 2.0 * payload_bytes * (hosts - 1) / hosts / DCN_HOST_BW
     return t * 1e3
+
+
+def _latest_bench_step_ms(default):
+    '''(step_ms, source) from the newest BENCH_r*.json with a real-chip
+    measurement; (default, 'constant...') when none is readable.'''
+    import glob
+    import json as _json
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, 'BENCH_r*.json')),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                row = _json.load(f)
+        except Exception:
+            continue
+        if row.get('device') == 'tpu' and row.get('step_ms'):
+            return float(row['step_ms']), os.path.basename(path)
+    return default, 'constant (no BENCH_r*.json with a tpu step_ms found)'
 
 
 def predict_pod_efficiency(args, out_path=None):
@@ -138,11 +158,15 @@ def predict_pod_efficiency(args, out_path=None):
         shard_halo_batch, spatial_sort
 
     # ---- measured single-chip step times (ms) ----
-    # dense MD17 headline: BENCH_r03.json (driver-captured, B=100/chip);
+    # dense MD17 headline: read from the NEWEST driver-captured
+    # BENCH_r*.json (falls back to the r03 constant with a note, so the
+    # prediction table tracks the live bench round-over-round); B=10 is
+    # scaled from it (step time ~linear in B on the HBM-bound dense
+    # path; the 0.66/5.25 ratio was measured in round 3).
     # large-N: PERF_NOTES round-3 battery (N=4096, newton3, scan-chunked)
-    T_DENSE_B100 = 5.25
-    T_DENSE_B10 = 0.66    # B=10/chip: the reference's own batch size;
-    # step time scales ~linearly in B on the HBM-bound dense path
+    T_DENSE_B100, bench_src = _latest_bench_step_ms(default=5.25)
+    print(f'# T_DENSE_B100 = {T_DENSE_B100} ms  (source: {bench_src})')
+    T_DENSE_B10 = 0.66 * (T_DENSE_B100 / 5.25)
     T_LARGEN = 52.6
 
     # ---- gradient all-reduce payload: the parameter pytree ----
