@@ -75,7 +75,8 @@ model:
   n_interactions: 1
   graph_mode: neighborlist
   k_max: 24
-  output_properties: ['energy', 'gradient_force']
+  ewald_mode: periodic
+  output_properties: ['charge', 'energy', 'gradient_force', 'direct_force']
 training:
   epochs: {epochs}
   steps_per_call: 2
@@ -84,6 +85,7 @@ training:
   loss:
     energy: {{weight: 1.0}}
     gradient_force: {{weight: 50.0}}
+    direct_force: {{weight: 5.0}}
     stress: {{weight: 10.0}}
   optimizer:
     adam: {{lr: 0.001}}
@@ -204,7 +206,13 @@ def test_multiprocess_halo_matches_single_process(tmp_path):
     devices): 2 processes x (data row of 1, graph=2 local devices) must
     match the single-process (data=2, graph=2) halo run epoch for epoch
     through the real training CLI -- same global batches, same halo
-    ppermutes inside a process, gradient psum crossing processes.'''
+    ppermutes inside a process, gradient psum crossing processes.
+
+    The config carries the FULL halo head/loss battery: a latent charge
+    head with the process-sharded periodic Ewald sum
+    (ops/ewald.ewald_energy_periodic_sharded under the composed mesh),
+    direct_force, gradient_force, and per-graph stress labels
+    (ref newtonnet/train/loss.py:106-149 battery scope).'''
     root = os.path.join(tmp_path, 'gas_ds')
     _write_gas_dataset(root)
     mp_out = os.path.join(tmp_path, 'mp_out')
@@ -230,13 +238,16 @@ def test_multiprocess_halo_matches_single_process(tmp_path):
     for a, b in zip(mp_rows, sp_rows):
         for key in ('train_loss', 'val_loss', 'test_loss',
                     'train_gradient_force_mae', 'train_energy_mae',
-                    'train_stress_mae'):
+                    'train_direct_force_mae', 'train_stress_mae'):
             if a.get(key) and b.get(key):
                 np.testing.assert_allclose(
                     float(a[key]), float(b[key]), rtol=1e-5,
                     err_msg=f'epoch {a["epoch"]} {key}')
-    # the stress battery actually flowed through the composed run
+    # the stress + direct_force batteries actually flowed through the
+    # composed run (the charge head has no labels; its sharded Ewald term
+    # is exercised through the energy loss it feeds)
     assert any(r.get('train_stress_mae') for r in mp_rows)
+    assert any(r.get('train_direct_force_mae') for r in mp_rows)
     # training actually descended and the chief wrote the artifacts
     e0 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '0']
     e2 = [float(r['train_loss']) for r in mp_rows if r.get('epoch') == '2']
