@@ -137,6 +137,7 @@ def _latest_bench_step_ms(default):
                 row = _json.load(f)
         except Exception:
             continue
+        row = row.get('parsed', row)   # driver captures nest under 'parsed'
         if row.get('device') == 'tpu' and row.get('step_ms'):
             return float(row['step_ms']), os.path.basename(path)
     return default, 'constant (no BENCH_r*.json with a tpu step_ms found)'
