@@ -38,7 +38,8 @@ def _enable_compilation_cache():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def make_frames(n_atoms, n_frames, cutoff=5.0, rho=0.1, k_max=40):
+def make_frames(n_atoms, n_frames, cutoff=5.0, rho=0.1, k_max=40,
+                jitter=0.0):
     '''n_frames independent periodic boxes + newton3 half lists.'''
     import jax.numpy as jnp
 
@@ -48,13 +49,41 @@ def make_frames(n_atoms, n_frames, cutoff=5.0, rho=0.1, k_max=40):
     L = (n_atoms / rho) ** (1 / 3)
     rs = np.random.RandomState(0)
     frames = []
-    for _ in range(n_frames):
-        z = rs.choice([1, 1, 8], size=n_atoms).astype(np.int32)
-        pos = (rs.rand(n_atoms, 3) * L).astype(np.float32)
+    z0 = pos0 = None
+    for f_i in range(n_frames):
+        if f_i == 0 or not jitter:
+            z = rs.choice([1, 1, 8], size=n_atoms).astype(np.int32)
+            pos = (rs.rand(n_atoms, 3) * L).astype(np.float32)
+            z0, pos0 = z, pos
+        else:
+            # same configuration class as frame 0 (jittered positions,
+            # lists honestly rebuilt): keeps the official k_max=40 Konig
+            # bound of the seed-0 box so the A=1 baseline IS the
+            # PERF_NOTES headline config; values differ so XLA cannot
+            # CSE the accumulated chains
+            z = z0
+            pos = (pos0 + rs.randn(n_atoms, 3).astype(np.float32)
+                   * jitter) % L
         cell = np.diag([L, L, L]).astype(np.float32)
-        idx, m = frame_neighbor_lists(z, pos, cell, cutoff, k_max,
-                                      mode='newton3')
+        # per-frame Konig bounds differ; every frame must share one K so
+        # the accumulated step is shape-homogeneous -- first fit wins
+        for k_try in range(k_max, k_max + 17, 4):
+            try:
+                idx, m = frame_neighbor_lists(z, pos, cell, cutoff, k_try,
+                                              mode='newton3')
+                break
+            except ValueError:
+                continue
+        else:
+            raise ValueError('no K within k_max+16 fits this frame')
         frames.append(dict(z=z, pos=pos, cell=cell, idx=idx, m=m))
+    k_use = max(f['idx'].shape[-1] for f in frames)
+    for f in frames:
+        k = f['idx'].shape[-1]
+        if k < k_use:
+            f['idx'] = np.pad(f['idx'], ((0, 0), (0, k_use - k)))
+            f['m'] = np.pad(f['m'], ((0, 0), (0, k_use - k)))
+    print(f'half-list slot capacity K = {k_use}')
     batch = {
         'z': jnp.asarray(np.stack([f['z'] for f in frames])),
         'pos': jnp.asarray(np.stack([f['pos'] for f in frames])),
@@ -70,7 +99,7 @@ def make_frames(n_atoms, n_frames, cutoff=5.0, rho=0.1, k_max=40):
     return batch, (idxj, mj, inv, invm)
 
 
-def main(n_atoms=4096, *factors):
+def main(n_atoms=4096, *factors, jitter=0.0):
     _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
@@ -82,7 +111,8 @@ def main(n_atoms=4096, *factors):
     factors = tuple(int(f) for f in factors) or (1, 2, 4)
     cutoff, k_max = 5.0, 40
     A_max = max(factors)
-    batch_all, nlist_all = make_frames(n_atoms, A_max, cutoff, k_max=k_max)
+    batch_all, nlist_all = make_frames(n_atoms, A_max, cutoff, k_max=k_max,
+                                       jitter=jitter)
     _ = float(jnp.sum(batch_all['pos']))  # honest-timing poison fetch
     edges_per_frame = [int(np.asarray(nlist_all[1][a]).sum()) * 2
                       for a in range(A_max)]  # newton3 half -> directed
@@ -90,7 +120,8 @@ def main(n_atoms=4096, *factors):
 
     model = NewtonNet(graph_mode='neighborlist', cutoff=cutoff,
                       n_features=128, n_basis=20, n_interactions=3,
-                      compute_dtype='bfloat16', k_max=k_max, newton3=True,
+                      compute_dtype='bfloat16', newton3=True,
+                      k_max=nlist_all[0].shape[-1],
                       output_properties=['energy', 'gradient_force'])
     main_loss, _ = get_loss_by_string(
         {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
@@ -164,4 +195,6 @@ def main(n_atoms=4096, *factors):
 
 
 if __name__ == '__main__':
-    main(*(int(a) for a in sys.argv[1:]))
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    jit_amp = 0.05 if '--jitter' in sys.argv[1:] else 0.0
+    main(*(int(a) for a in args), jitter=jit_amp)
