@@ -77,6 +77,25 @@ class NeighborEdges(NamedTuple):
     # the dense slot sum, in side via inv_scatter_sum)
 
 
+class StairEdgeChunk(NamedTuple):
+    '''One staircase chunk (ops/staircase.py): a square K-major half-list
+    block over the atom PREFIX that still needs this chunk's colors.'''
+    idx: jnp.ndarray       # (B, c, n) int32
+    mask: jnp.ndarray      # (B, c, n) bool
+    inv: jnp.ndarray       # (B, c, n) int32
+    inv_mask: jnp.ndarray  # (B, c, n) bool
+    dir: jnp.ndarray       # (B, c, n, 3)
+    rbf: jnp.ndarray       # (B, c, n, n_basis)
+
+
+class StairEdges(NamedTuple):
+    '''Staircase-compacted newton3 half list: the color axis is cut into
+    chunks whose atom width follows the per-atom slot need (atoms sorted
+    by need, descending), so every per-edge row op pays ~25% fewer slot
+    rows than the rectangular newton3 grid (ops/staircase.py).'''
+    chunks: tuple  # of StairEdgeChunk
+
+
 def _torch_uniform_init(bound):
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -171,6 +190,8 @@ class InteractionNet(nn.Module):
         reduce-scatter), everything else stays local. This is the graph
         analogue of context parallelism (SURVEY.md section 5).
         '''
+        if isinstance(edges, StairEdges):
+            return self._stair(atom_node, force_node, edges)
         f = self.n_features
         dense = isinstance(edges, DenseEdges)
         # jaxis = the summed-over neighbor axis of per-edge tensors:
@@ -356,6 +377,90 @@ class InteractionNet(nn.Module):
                                      name='layer_norm')(atom_node)
         return atom_node, force_node
 
+    def _stair(self, atom_node, force_node, edges):
+        '''Staircase-chunked newton3 layer (ops/staircase.py layout).
+
+        Same physics and the same parameters as the kmajor newton3
+        branch above -- one checkpoint serves both layouts -- but every
+        per-edge tensor is a tuple of (B, c, n) chunks whose atom width
+        n follows the per-atom slot need, so the fused 4F gathers, the
+        mirror inv_scatter_sum scans, and the pair-MLP elementwise chain
+        all run on ~25% fewer slot rows. Chunk sources/targets are atom
+        PREFIXES (atoms sorted by need), so node-level tensors slice
+        for free and per-chunk contributions accumulate with prefix
+        adds. Requires first_layer handling identical to the kmajor
+        path (F-wide gather, no phi2 compute).
+        '''
+        from newtonnet_tpu.ops.nlist import inv_gather, inv_scatter_sum
+        f = self.n_features
+        mn_mlp = MLP([f, f], self.activation, param_dtype=self.param_dtype,
+                     name='message_nodepart')
+        me_lin = TorchLinear(f, use_bias=False, param_dtype=self.param_dtype,
+                             name='message_edgepart')
+        phi1_mlp = MLP([f, f], self.activation, use_bias=False,
+                       param_dtype=self.param_dtype, name='equiv_message1')
+        phi2_mlp = MLP([f, f], self.activation, use_bias=False,
+                       param_dtype=self.param_dtype, name='equiv_message2')
+
+        message_nodepart = mn_mlp(atom_node)  # (B, N, F)
+        if self.first_layer:
+            # force_node is identically zero: phi2's message vanishes;
+            # create its (identical) params from a unit slice and gather
+            # only the F-wide invariant part
+            _ = phi2_mlp(jnp.zeros((1, 1, 1, f), atom_node.dtype))
+            cat = message_nodepart
+        else:
+            cat = jnp.concatenate(
+                [message_nodepart] + [force_node[:, :, d, :]
+                                      for d in range(3)], axis=-1)
+        d_atom = jnp.zeros_like(atom_node)
+        d_equiv = jnp.zeros_like(force_node)
+        for ch in edges.chunks:
+            n = ch.idx.shape[-1]
+            w = ch.mask[..., None].astype(atom_node.dtype)
+            cat_j = inv_gather(cat[:, :n], ch.idx, ch.inv, ch.inv_mask)
+            nodepart_j = cat_j[..., :f]
+            message = (me_lin(ch.rbf)
+                       * message_nodepart[:, None, :n]
+                       * nodepart_j) * w            # (B, c, n, F)
+            d_atom = d_atom.at[:, :n].add(jnp.sum(message, axis=1))
+            phi1 = phi1_mlp(message) * w
+            equiv_out = jnp.stack(
+                [jnp.sum(phi1 * ch.dir[..., d:d + 1], axis=1)
+                 for d in range(3)], axis=2)        # (B, n, 3, F)
+            if self.first_layer:
+                mirror = [message] + [-phi1 * ch.dir[..., d:d + 1]
+                                      for d in range(3)]
+            else:
+                phi2 = phi2_mlp(message) * w
+                equiv_out = equiv_out + jnp.stack(
+                    [jnp.sum(phi2 * cat_j[..., (d + 1) * f:(d + 2) * f],
+                             axis=1)
+                     for d in range(3)], axis=2)
+                f_i = force_node[:, None, :n]       # (B, 1, n, 3, F)
+                mirror = [message]
+                for d in range(3):
+                    mirror.append(phi2 * f_i[..., d, :]
+                                  - phi1 * ch.dir[..., d:d + 1])
+            S = inv_scatter_sum(jnp.concatenate(mirror, axis=-1),
+                                ch.idx, ch.inv, ch.inv_mask)  # (B, n, 4F)
+            d_atom = d_atom.at[:, :n].add(S[..., :f])
+            equiv_in = jnp.stack(
+                [S[..., (d + 1) * f:(d + 2) * f] for d in range(3)], axis=2)
+            d_equiv = d_equiv.at[:, :n].add(equiv_out + equiv_in)
+        atom_node = atom_node + d_atom
+        force_node = force_node + d_equiv
+
+        equiv_update = TorchLinear(f, use_bias=False,
+                                   param_dtype=self.param_dtype,
+                                   name='equiv_update')(force_node)
+        atom_node = atom_node + jnp.sum(force_node * equiv_update, axis=2)
+        if self.layer_norm:
+            atom_node = nn.LayerNorm(epsilon=1e-5,
+                                     param_dtype=self.param_dtype,
+                                     name='layer_norm')(atom_node)
+        return atom_node, force_node
+
 
 class ScaleShift(nn.Module):
     '''Per-element (Z-indexed) trainable scale/shift (ref layers/scalers.py:33-69).
@@ -432,6 +537,12 @@ class NewtonNetCore(nn.Module):
     # endpoints -- ~2x fewer gather rows and pair-MLP FLOPs. Implies the
     # K-major layout and requires a precomputed half nlist 4-tuple; without
     # one (e.g. during init) the model falls back to the plain full list
+    newton3_compact: bool = False  # staircase-compacted newton3 half lists
+    # (ops/staircase.py): the color axis is chunked and each chunk only
+    # carries the atom prefix that needs it (~25% fewer slot rows). nlist
+    # is the tuple of per-chunk 4-tuples from staircase.stair_nlist and
+    # the frame must be permuted by StairList.perm (atoms sorted by slot
+    # need). B=1, no sharding -- the large-N train-step formulation
     compute_dtype: str = ''    # '' = input dtype; 'bfloat16' = mixed
     # precision: bf16 interaction stack (the HBM-bound pair tensors at half
     # traffic), fp32 graph build, heads and aggregation
@@ -491,6 +602,45 @@ class NewtonNetCore(nn.Module):
             rbf = polynomial_cutoff(dist) * radial_bessel(
                 dist, self.n_basis, frequencies=bessel_freq)
             edges = DenseEdges(dir=dir_edge, rbf=rbf, adj=adj)
+        elif self.graph_mode == 'neighborlist' and self.newton3_compact:
+            if self.shard_axis or self.reverse_lists or self.inverse_lists \
+                    or self.newton3:
+                raise ValueError(
+                    'newton3_compact is its own edge layout: no sharding, '
+                    'reverse_lists, inverse_lists, or newton3')
+            if nlist is None:
+                if not self.is_initializing():
+                    raise ValueError(
+                        'newton3_compact models need a precomputed '
+                        'staircase chunk tuple -- build it with '
+                        'ops/staircase.staircase_half_list and pass '
+                        'stair_nlist(sl) with the frame permuted by '
+                        'sl.perm')
+                # init only traces shapes: a minimal stub chunk creates
+                # the same parameters the real layout uses
+                B, N = z.shape
+                n0 = min(8, N)
+                stub_i = jnp.zeros((B, 1, n0), jnp.int32)
+                stub_m = jnp.zeros((B, 1, n0), bool)
+                nlist = ((stub_i, stub_m, stub_i, stub_m),)
+            from newtonnet_tpu.ops.nlist import recompute_displacements_kn
+            chunks = []
+            for (cidx, cmask, cinv, cinvm) in nlist:
+                n = cidx.shape[-1]
+                disp = recompute_displacements_kn(
+                    pos[:, :n], cell, cidx, cinv, cinvm,
+                    mic_mode=self.mic_mode)
+                # stale-pair tightening, as in the newton3 path below: a
+                # stale edge's cotangent is already zero, so inv stays valid
+                d2 = jnp.sum(disp * disp, axis=-1)
+                cmask = cmask & (d2 < self.cutoff * self.cutoff)
+                dist, dir_c = scaled_norm(disp, self.cutoff)
+                rbf_c = polynomial_cutoff(dist) * radial_bessel(
+                    dist, self.n_basis, frequencies=bessel_freq)
+                chunks.append(StairEdgeChunk(
+                    idx=cidx, mask=cmask, inv=cinv, inv_mask=cinvm,
+                    dir=dir_c, rbf=rbf_c))
+            edges = StairEdges(chunks=tuple(chunks))
         elif self.graph_mode == 'neighborlist':
             pre_rev = pre_inv = None
             if self.shard_axis and self.halo > 0:
@@ -620,8 +770,13 @@ class NewtonNetCore(nn.Module):
             cd = jnp.dtype(self.compute_dtype)
             atom_node = atom_node.astype(cd)
             force_node = force_node.astype(cd)
-            edges = edges._replace(dir=edges.dir.astype(cd),
-                                   rbf=edges.rbf.astype(cd))
+            if isinstance(edges, StairEdges):
+                edges = StairEdges(chunks=tuple(
+                    c._replace(dir=c.dir.astype(cd), rbf=c.rbf.astype(cd))
+                    for c in edges.chunks))
+            else:
+                edges = edges._replace(dir=edges.dir.astype(cd),
+                                       rbf=edges.rbf.astype(cd))
         for i in range(self.n_interactions):
             # static_argnums: `edges` (arg 2 after self) carries static
             # Python bools (kmajor/newton3) alongside arrays

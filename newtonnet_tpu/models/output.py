@@ -65,6 +65,7 @@ class NewtonNet:
             reverse_lists: bool = False,
             inverse_lists: bool = False,
             newton3: bool = False,
+            newton3_compact: bool = False,
             compute_dtype: str = '',
             trainable_basis: bool = False,
             hessian_block: int = 0,
@@ -80,6 +81,19 @@ class NewtonNet:
             if key not in ALL_PROPERTIES:
                 raise NotImplementedError(
                     f'Output type {key} is not implemented yet')
+        if newton3_compact:
+            if newton3 or reverse_lists or inverse_lists \
+                    or graph_mode != 'neighborlist' or kernel != 'xla':
+                raise ValueError(
+                    'newton3_compact is its own neighborlist edge layout '
+                    '(kernel=xla, no newton3/reverse_lists/inverse_lists)')
+            bad = set(output_properties) & {'hessian', 'bec'}
+            if bad:
+                raise ValueError(
+                    f'newton3_compact does not support {sorted(bad)}: '
+                    'their per-graph vmap wrappers unpack flat (idx, mask) '
+                    'nlists, not staircase chunk tuples -- use newton3 for '
+                    'those heads')
         if kernel not in ('xla', 'pallas'):
             raise ValueError(f'kernel must be xla or pallas, got {kernel}')
         if kernel == 'pallas':
@@ -119,6 +133,7 @@ class NewtonNet:
         self.reverse_lists = reverse_lists
         self.inverse_lists = inverse_lists
         self.newton3 = newton3
+        self.newton3_compact = newton3_compact
         self.compute_dtype = compute_dtype
         self.trainable_basis = trainable_basis
         self.hessian_block = hessian_block  # >0: lax.map-blocked HVP lanes
@@ -152,7 +167,8 @@ class NewtonNet:
             mic_mode=mic_mode, graph_mode=graph_mode, k_max=k_max,
             cell_grid=tuple(cell_grid), cell_capacity=cell_capacity,
             reverse_lists=reverse_lists, inverse_lists=inverse_lists,
-            newton3=newton3, compute_dtype=compute_dtype,
+            newton3=newton3, newton3_compact=newton3_compact,
+            compute_dtype=compute_dtype,
             trainable_basis=trainable_basis, param_dtype=param_dtype)
 
     # ------------------------------------------------------------------ #
@@ -215,6 +231,7 @@ class NewtonNet:
             'reverse_lists': self.reverse_lists,
             'inverse_lists': self.inverse_lists,
             'newton3': self.newton3,
+            'newton3_compact': self.newton3_compact,
             'compute_dtype': self.compute_dtype,
             'trainable_basis': self.trainable_basis,
             'hessian_block': self.hessian_block,

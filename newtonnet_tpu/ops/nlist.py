@@ -334,6 +334,80 @@ def symmetrize_slots(idx, kmask, k_max=None):
     return idx2, kmask2
 
 
+def _konig_color(src, dst, N, cap):
+    '''Koenig bipartite edge coloring of an oriented edge list.
+
+    Every edge gets the LOWEST slot free on both its out-row (src side)
+    and in-row (dst side); when none is shared, flip an alternating
+    a/b-colored path starting at the in-row to free one. Terminates with
+    exactly max(outdeg, indeg) slots (Koenig's theorem); picking the
+    lowest shared slot front-loads colors, which the staircase compaction
+    (ops/staircase.py) relies on.
+
+    Returns (color (E,), slot_out (N, cap), slot_in (N, cap), chain_flip)
+    -- slot_* map slot -> edge id (-1 = free) per row, and `chain_flip`
+    is a closure over that state so post-passes (the staircase's
+    dual-side Kempe compaction) can keep recoloring without rebuilding
+    the occupancy tables. chain_flip(u, v, a, b) frees color a at v's
+    in-row (given a free at u's out-row and b free at v's in-row) by
+    swapping a/b along the maximal alternating chain from v; it returns
+    False if the chain ended occupying a at u (possible only for the
+    compaction's mid-palette targets, not the construction's argmax
+    choice, where Koenig's theorem guarantees success).
+    '''
+    import numpy as np
+    slot_out = np.full((N, cap), -1, np.int64)  # slot -> edge id, per out-row
+    slot_in = np.full((N, cap), -1, np.int64)   # slot -> edge id, per in-row
+    color = np.full(len(src), -1, np.int64)
+
+    def chain_flip(u, v, a, b):
+        # walk the maximal a/b-alternating chain from v's a-in-edge
+        # (in-edge colored a, out-edge colored b, ...), then swap the
+        # two colors along it
+        chain = []
+        node, col, side_in = v, a, True
+        while True:
+            e2 = int(slot_in[node][col] if side_in
+                     else slot_out[node][col])
+            if e2 < 0:
+                break
+            chain.append(e2)
+            col = b if col == a else a
+            if side_in:
+                node = int(src[e2])
+            else:
+                node = int(dst[e2])
+            side_in = not side_in
+        for e2 in chain:
+            old = int(color[e2])
+            slot_out[src[e2]][old] = -1
+            slot_in[dst[e2]][old] = -1
+        for e2 in chain:
+            new = b if int(color[e2]) == a else a
+            color[e2] = new
+            slot_out[src[e2]][new] = e2
+            slot_in[dst[e2]][new] = e2
+        return not (slot_out[u][a] >= 0 or slot_in[v][a] >= 0)
+
+    for e in range(len(src)):
+        u, v = int(src[e]), int(dst[e])
+        free_u = slot_out[u] < 0
+        free_v = slot_in[v] < 0
+        both = free_u & free_v
+        if both.any():
+            c = int(np.argmax(both))
+        else:
+            a = int(np.argmax(free_u))  # free at u, taken at v
+            b = int(np.argmax(free_v))  # free at v, taken at u
+            if not chain_flip(u, v, a, b):
+                raise AssertionError('Koenig chain flip failed')
+            c = a
+        color[e] = c
+        slot_out[u][c] = e
+        slot_in[v][c] = e
+    return color, slot_out, slot_in, chain_flip
+
+
 def newton3_half_list(idx, kmask, k_max=None):
     '''Orient + slot-color a symmetric neighbor list into a HALF list.
 
@@ -395,58 +469,7 @@ def newton3_half_list(idx, kmask, k_max=None):
         raise ValueError(
             f'newton3_half_list: needs {delta} slots '
             f'(max out/in degree); got k_max={cap}')
-    # Koenig bipartite edge coloring: every edge gets a slot free on both
-    # its out-row and in-row; when none is shared, flip an alternating
-    # a/b-colored path starting at the in-row to free one. Terminates with
-    # exactly `delta` slots (Koenig's theorem).
-    slot_out = np.full((N, cap), -1, np.int64)  # slot -> edge id, per out-row
-    slot_in = np.full((N, cap), -1, np.int64)   # slot -> edge id, per in-row
-    color = np.full(len(src), -1, np.int64)
-    for e in range(len(src)):
-        u, v = int(src[e]), int(dst[e])
-        free_u = slot_out[u] < 0
-        free_v = slot_in[v] < 0
-        both = free_u & free_v
-        if both.any():
-            c = int(np.argmax(both))
-        else:
-            a = int(np.argmax(free_u))  # free at u, taken at v
-            b = int(np.argmax(free_v))  # free at v, taken at u
-            # walk the maximal a/b-alternating chain from v's a-in-edge
-            # (in-edge colored a, out-edge colored b, ...), then swap the
-            # two colors along it; Koenig's theorem guarantees the chain
-            # is a simple path that never occupies a at u, so afterwards
-            # slot a is free at both u and v
-            chain = []
-            node, col, side_in = v, a, True
-            while True:
-                e2 = int(slot_in[node][col] if side_in
-                         else slot_out[node][col])
-                if e2 < 0:
-                    break
-                chain.append(e2)
-                col = b if col == a else a
-                if side_in:
-                    node = int(src[e2])
-                else:
-                    node = int(dst[e2])
-                side_in = not side_in
-            for e2 in chain:
-                old = int(color[e2])
-                slot_out[src[e2]][old] = -1
-                slot_in[dst[e2]][old] = -1
-            for e2 in chain:
-                new = b if int(color[e2]) == a else a
-                color[e2] = new
-                slot_out[src[e2]][new] = e2
-                slot_in[dst[e2]][new] = e2
-            c = a
-            if slot_out[u][c] >= 0 or slot_in[v][c] >= 0:
-                raise AssertionError(
-                    'newton3_half_list: Koenig chain flip failed')
-        color[e] = c
-        slot_out[u][c] = e
-        slot_in[v][c] = e
+    color, _, _, _ = _konig_color(src, dst, N, cap)
     k2 = k_max or delta
     idx2 = np.zeros((N, k2), idx.dtype)
     kmask2 = np.zeros((N, k2), bool)

@@ -10,7 +10,11 @@ through the neighborlist path, comparing graph strategies:
                forward, newtonnet/layers/representations.py:70-98);
   * plain   -- precomputed plain lists fed via data/prelists.py;
   * newton3 -- precomputed Newton's-third-law half lists: each undirected
-               edge computed once per layer.
+               edge computed once per layer;
+  * newton3c -- staircase-compacted newton3 (ops/staircase.py): the color
+               axis is chunked and each chunk only carries the atom prefix
+               that needs it, ~25% fewer slot rows on every per-edge op
+               (chunk size via NEWTONNET_STAIR_CHUNK, default 6).
 
 Prints ms/step and M edges/s for each mode.
 
@@ -68,7 +72,7 @@ def main(n_atoms=4096, *modes):
     main_loss, _ = get_loss_by_string(
         {'energy': {'weight': 1.0}, 'gradient_force': {'weight': 50.0}})
 
-    def step_time(model, nlist, use_fastgrad=False):
+    def step_time(model, nlist, use_fastgrad=False, batch=batch):
         params = model.init(jax.random.PRNGKey(0), batch['z'], batch['pos'],
                             batch['cell'])
         tx = optax.adam(1e-3)
@@ -135,9 +139,32 @@ def main(n_atoms=4096, *modes):
             inv, invm = build_inverse_list(jnp.swapaxes(idxj, 1, 2),
                                            jnp.swapaxes(mj, 1, 2))
             nlist = (idxj, mj, inv, invm)
+        elif mode == 'newton3c':
+            from newtonnet_tpu.ops.staircase import (staircase_half_list,
+                                                     stair_nlist)
+            chunk = int(os.environ.get('NEWTONNET_STAIR_CHUNK', '6'))
+            idx_full, kmask_f, _, _ = jax.jit(
+                lambda p, c, m: neighbor_list(p, c, m, cutoff, 96))(
+                batch['pos'], batch['cell'], batch['z'] > 0)
+            t0 = time.perf_counter()
+            sl = staircase_half_list(np.asarray(idx_full[0]),
+                                     np.asarray(kmask_f[0]), chunk=chunk)
+            rows = sum(c * n for c, n in sl.widths)
+            print(f'  staircase build {time.perf_counter() - t0:.1f}s: '
+                  f'widths={sl.widths} rows={rows} '
+                  f'({rows / (n_atoms * sum(c for c, _ in sl.widths)):.0%} '
+                  'of the rectangular grid)')
+            model = NewtonNet(k_max=40, newton3_compact=True, **common)
+            nlist = tuple(tuple(jnp.asarray(a) for a in ch)
+                          for ch in stair_nlist(sl))
+            perm = sl.perm
+            bench_batch = dict(batch)
+            for key in ('z', 'pos', 'force'):
+                bench_batch[key] = batch[key][:, perm]
         else:
             raise SystemExit(f'unknown mode {mode}')
-        dt = step_time(model, nlist)
+        dt = step_time(model, nlist,
+                       batch=bench_batch if mode == 'newton3c' else batch)
         print(f'{mode:8s}: {dt * 1e3:7.1f} ms/step  '
               f'{edges / dt / 1e6:6.2f} M edges/s')
 
