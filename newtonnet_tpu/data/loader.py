@@ -451,6 +451,33 @@ def collate(samples, n_pad, batch_pad, dtype=np.float32):
         K = samples[0]['nlist_idx'].shape[-1]
         batch['nlist_idx'] = np.zeros((B, N, K), np.int32)
         batch['nlist_mask'] = np.zeros((B, N, K), bool)
+    # staircase chunk tuples (data/prelists.py mode='newton3c'): every
+    # sample must follow the same shape plan (the wrapper guarantees it)
+    with_st = sum('nlist_stair' in s for s in samples)
+    if with_st and with_st != len(samples):
+        raise ValueError(
+            'mixed batch: some samples carry staircase lists and some do '
+            'not (wrap every dataset in NeighborListDataset)')
+    if with_st:
+        widths = tuple(ch[0].shape for ch in samples[0]['nlist_stair'])
+        for s in samples[1:]:
+            if tuple(ch[0].shape for ch in s['nlist_stair']) != widths:
+                raise ValueError(
+                    'staircase shape plan differs across the batch (use '
+                    'one NeighborListDataset wrapper per dataset so the '
+                    'plan is shared)')
+        if any(n > N for _, n in widths):
+            raise ValueError(
+                f'staircase chunk width exceeds n_pad={N}; raise n_pad')
+        stair = []
+        for ci, (c, n) in enumerate(widths):
+            arrs = (np.zeros((B, c, n), np.int32), np.zeros((B, c, n), bool),
+                    np.zeros((B, c, n), np.int32), np.zeros((B, c, n), bool))
+            for i, s in enumerate(samples):
+                for a, src_a in zip(arrs, s['nlist_stair'][ci]):
+                    a[i] = src_a
+            stair.append(arrs)
+        batch['nlist_stair'] = tuple(stair)
     # per-graph 3x3 labels (stress/virial training): present on all frames
     # of a dataset or none (partial labelling would train on zeros)
     for key in ('stress', 'virial'):

@@ -123,16 +123,37 @@ class NeighborListDataset:
     cached in memory (int32 + bool: ~(k_max*5)/atom bytes).
 
     Match the constructor arguments to the model: same cutoff, same k_max,
-    and mode 'newton3'/'inverse' only for models built with that flag.
+    and mode 'newton3'/'inverse'/'newton3c' only for models built with the
+    matching flag.
+
+    mode='newton3c' (staircase-compacted half lists, ops/staircase.py,
+    for newton3_compact models): samples gain 'nlist_stair' -- a tuple of
+    per-chunk (idx, mask, inv, inv_mask) -- and the frame's per-atom
+    arrays (z, pos, force, charge) are PERMUTED to the staircase's
+    need-sorted order; the training loss is permutation-covariant so
+    training is unchanged, but per-atom predictions come back in sorted
+    order. The first built frame fixes the static shape plan (widths +
+    `stair_margin` spare rows per chunk); a later frame that does not fit
+    raises with instructions rather than recompiling or overflowing.
     '''
 
     def __init__(self, dataset, cutoff, k_max, mode='plain',
-                 mic_mode='exact'):
+                 mic_mode='exact', stair_chunk=6, stair_pad=8,
+                 stair_margin=16, stair_extra_colors=None):
         self.dataset = dataset
         self.cutoff = cutoff
         self.k_max = k_max
         self.mode = mode
         self.mic_mode = mic_mode
+        self.stair_chunk = stair_chunk
+        self.stair_pad = stair_pad
+        self.stair_margin = stair_margin
+        # color headroom in the shared plan: a denser frame later in the
+        # dataset may need a few more colors than frame 0 (default: one
+        # spare chunk; 0 disables)
+        self.stair_extra_colors = (stair_chunk if stair_extra_colors is None
+                                   else stair_extra_colors)
+        self._stair_plan = None
         self._cache = {}
         # pass through attributes loaders read (max_atoms, precision, ...)
         for attr in ('max_atoms', 'precision', 'frame_sizes'):
@@ -144,9 +165,57 @@ class NeighborListDataset:
 
     def __getitem__(self, i):
         s = dict(self.dataset[i])
+        if self.mode == 'newton3c':
+            if i not in self._cache:
+                self._cache[i] = self._build_stair(s)
+            sl = self._cache[i]
+            perm = sl.perm
+            for key in ('z', 'pos', 'force', 'charge'):
+                v = s.get(key)
+                if v is not None and np.ndim(v) >= 1 \
+                        and len(v) == len(perm):
+                    s[key] = np.asarray(v)[perm]
+            s['nlist_stair'] = tuple(
+                tuple(a[0] for a in ch) for ch in sl.chunks)
+            return s
         if i not in self._cache:
             self._cache[i] = frame_neighbor_lists(
                 s['z'], s['pos'], s['cell'], self.cutoff, self.k_max,
                 mode=self.mode, mic_mode=self.mic_mode)
         s['nlist_idx'], s['nlist_mask'] = self._cache[i]
         return s
+
+    def _build_stair(self, s):
+        from newtonnet_tpu.ops.staircase import (staircase_chunks,
+                                                 staircase_colors)
+        idx, mask = frame_neighbor_lists(
+            s['z'], s['pos'], s['cell'], self.cutoff, 2 * self.k_max + 8,
+            mode='plain', mic_mode=self.mic_mode)
+        try:
+            colored = staircase_colors(idx, mask, plan=self._stair_plan)
+            if self._stair_plan is None:
+                # fix the static shape plan: this frame's widths plus
+                # spare rows so homogeneous datasets' frame-to-frame
+                # wobble fits without recompiling
+                pad = self.stair_pad
+                m = -(-(self.stair_margin) // pad) * pad
+                first = staircase_chunks(colored, chunk=self.stair_chunk,
+                                         pad=pad)
+                nmax = int(getattr(self, 'max_atoms', None) or len(s['z']))
+
+                def width(n):
+                    return min(n + m, nmax)
+                plan = [(c, width(n)) for c, n in first.widths]
+                extra = self.stair_extra_colors
+                if extra:
+                    plan.append((extra, width(first.widths[-1][1])))
+                self._stair_plan = tuple(plan)
+            return staircase_chunks(colored, chunk=self.stair_chunk,
+                                    pad=self.stair_pad,
+                                    plan=self._stair_plan)
+        except ValueError as e:
+            raise ValueError(
+                f'{e} -- a frame exceeded the staircase shape plan fixed '
+                'by the first frame; raise stair_margin (or rebuild the '
+                'dataset wrapper so a representative frame comes first)'
+            ) from None

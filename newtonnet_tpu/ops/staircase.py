@@ -175,6 +175,17 @@ def staircase_half_list(idx, kmask, chunk=6, pad=8, sweeps=6, plan=None):
         chunks; per-color maps are injective on both sides (inv_gather /
         inv_scatter_sum exactness).
     '''
+    colored = staircase_colors(idx, kmask, sweeps=sweeps, plan=plan)
+    return staircase_chunks(colored, chunk=chunk, pad=pad, plan=plan)
+
+
+def staircase_colors(idx, kmask, sweeps=6, plan=None):
+    '''Phase 1: orient + color + compact (the expensive host work).
+
+    Returns an opaque (N, src, dst, color) tuple for staircase_chunks,
+    so callers fixing a shape plan from the first frame can re-chunk
+    without re-coloring.
+    '''
     from newtonnet_tpu.ops.nlist import _euler_orientation, _konig_color
     idx = np.asarray(idx)
     kmask = np.asarray(kmask)
@@ -201,7 +212,15 @@ def staircase_half_list(idx, kmask, chunk=6, pad=8, sweeps=6, plan=None):
         cap = plan_cap
     state = _konig_color(src, dst, N, cap)
     color = _compact_colors(src, dst, out_deg, in_deg, state, sweeps)
+    return N, src, dst, color
 
+
+def staircase_chunks(colored, chunk=6, pad=8, plan=None):
+    '''Phase 2: atom ordering + chunk assembly (cheap, plan-aware).'''
+    N, src, dst, color = colored
+    cap = int(color.max()) + 1 if len(color) else 1
+    if plan is not None:
+        cap = sum(c for c, _ in plan)
     need = _per_atom_need(src, dst, color, N)
     order = np.argsort(-need, kind='stable')
     perm = order.astype(np.int32)                 # sorted pos -> original
@@ -211,20 +230,25 @@ def staircase_half_list(idx, kmask, chunk=6, pad=8, sweeps=6, plan=None):
 
     widths = []
     k0 = 0
-    while k0 < cap:
-        c = min(chunk, cap - k0)
-        n_k = int((need > k0).sum())
-        n_k = max(pad, -(-n_k // pad) * pad)
-        n_k = min(n_k, N)
-        if plan is not None:
-            pc, pn = plan[len(widths)]
-            if c > pc or n_k > pn:
+    if plan is not None:
+        # follow the plan's chunk boundaries exactly (shape stability
+        # across frames); only validate that this frame fits
+        for pc, pn in plan:
+            n_k = int((need > k0).sum())
+            n_k = max(pad, -(-n_k // pad) * pad)
+            if min(n_k, N) > pn:
                 raise ValueError(
                     f'staircase_half_list: chunk {len(widths)} needs '
-                    f'({c}, {n_k}); the plan provides ({pc}, {pn})')
-            c, n_k = pc, pn
-        widths.append((c, n_k))
-        k0 += c
+                    f'{min(n_k, N)} rows; the plan provides {pn}')
+            widths.append((pc, pn))
+            k0 += pc
+    else:
+        while k0 < cap:
+            c = min(chunk, cap - k0)
+            n_k = int((need > k0).sum())
+            n_k = max(pad, -(-n_k // pad) * pad)
+            widths.append((c, min(n_k, N)))
+            k0 += c
 
     chunks = [dict(idx=np.zeros((c, n), np.int32),
                    mask=np.zeros((c, n), bool),

@@ -398,6 +398,10 @@ class Trainer:
         Returns the nlist tuple the model expects, or None when the batch
         carries no lists (the model then builds its graph in-jit).
         '''
+        if isinstance(batch, dict) and 'nlist_stair' in batch:
+            # staircase chunk tuples (data/prelists.py mode='newton3c'):
+            # already the model-facing payload, frames pre-permuted
+            return batch['nlist_stair']
         if not isinstance(batch, dict) or 'nlist_idx' not in batch:
             return None
         import jax.numpy as jnp
@@ -422,7 +426,17 @@ class Trainer:
         lists fed to a newton3/inverse_lists model) would otherwise train
         on silently wrong gradients (data/prelists.py documents the
         pairing).'''
-        if not isinstance(batch, dict) or 'nlist_idx' not in batch:
+        if not isinstance(batch, dict):
+            return
+        compact = getattr(self.model, 'newton3_compact', False)
+        if compact != ('nlist_stair' in batch):
+            raise ValueError(
+                'newton3_compact models pair with staircase batches '
+                "(data.precompute_nlist mode: 'newton3c') and vice versa; "
+                f'model compact={compact}, batch '
+                f'{"carries" if "nlist_stair" in batch else "lacks"} '
+                'nlist_stair')
+        if 'nlist_idx' not in batch:
             return
         import numpy as np
         idx = np.asarray(batch['nlist_idx'])
@@ -951,8 +965,9 @@ class Trainer:
             # variable chunk lengths would recompile
             nonlocal totals
             if len(pending) == spc:
-                stacked = {k: np.stack([b[k] for b in pending])
-                           for k in pending[0]}
+                # tree-map (not a per-key dict comprehension): batch values
+                # may be nested pytrees (staircase chunk tuples)
+                stacked = jax.tree.map(lambda *xs: np.stack(xs), *pending)
                 if self._multiproc:
                     from newtonnet_tpu.parallel.distributed import \
                         global_data_batch

@@ -199,3 +199,111 @@ def test_staircase_guards():
     with pytest.raises(ValueError, match='staircase'):
         mc.apply(params, jnp.asarray(z), jnp.asarray(pos),
                  jnp.asarray(cell))
+
+
+def test_staircase_through_trainer():
+    '''NeighborListDataset mode='newton3c' + Trainer: epochs on staircase
+    batches (frames pre-permuted, chunk tuples riding the batch, the
+    scan-chunked stacking path) match the in-jit-graph epochs of the plain
+    model on the same frames.'''
+    import jax
+    from newtonnet_tpu.data import collate
+    from newtonnet_tpu.data.prelists import NeighborListDataset
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    N, B = 14, 2
+
+    class Frames:
+        def __len__(self):
+            return 2 * B
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(400 + i)
+            cell = np.diag([8.5, 8.5, 8.5])
+            return {'z': r.choice([1, 6, 8], size=N).astype(np.int32),
+                    'pos': r.rand(N, 3) @ cell, 'cell': cell,
+                    'energy': float(r.randn()), 'force': r.randn(N, 3)}
+
+    common = dict(graph_mode='neighborlist', cutoff=4.5, n_features=8,
+                  n_basis=4, n_interactions=2,
+                  output_properties=['energy', 'gradient_force'])
+
+    def epochs(compact):
+        src = Frames()
+        ds = (NeighborListDataset(src, cutoff=4.5, k_max=10, mode='newton3c',
+                                  stair_chunk=3, stair_pad=2,
+                                  stair_margin=2)
+              if compact else src)
+        model = NewtonNet(k_max=16, newton3_compact=compact, **common)
+        batches = [collate([ds[i + c * B] for i in range(B)], n_pad=N,
+                           batch_pad=B) for c in range(2)]
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(batches[0]['z']),
+                            jnp.asarray(batches[0]['pos']),
+                            jnp.asarray(batches[0]['cell']))
+        t = Trainer(model=model, params=params,
+                    loss_fns=get_loss_by_string(
+                        {'energy': {}, 'gradient_force': {'weight': 5.0}}),
+                    optimizer=get_optimizer_by_string('adam', lr=1e-3),
+                    steps_per_call=2)  # exercise the stacked-scan path
+        logs = [t.run_one_epoch(batches, step=True) for _ in range(2)]
+        return [lg['loss'] for lg in logs]
+
+    l_plain = epochs(False)
+    l_stair = epochs(True)
+    np.testing.assert_allclose(l_plain, l_stair, rtol=5e-5)
+
+
+def test_trainer_rejects_stair_mode_mismatch():
+    '''Staircase batches and newton3_compact models must pair both ways.'''
+    import jax
+    from newtonnet_tpu.data import collate
+    from newtonnet_tpu.data.prelists import NeighborListDataset
+    from newtonnet_tpu.models import NewtonNet
+    from newtonnet_tpu.train import (Trainer, get_loss_by_string,
+                                     get_optimizer_by_string)
+
+    N, B = 10, 2
+
+    class Frames:
+        def __len__(self):
+            return B
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(500 + i)
+            cell = np.diag([7.0, 7.0, 7.0])
+            return {'z': r.choice([1, 8], size=N).astype(np.int32),
+                    'pos': r.rand(N, 3) @ cell, 'cell': cell,
+                    'energy': 0.0, 'force': np.zeros((N, 3))}
+
+    common = dict(graph_mode='neighborlist', cutoff=4.0, n_features=8,
+                  n_basis=4, n_interactions=1,
+                  output_properties=['energy', 'gradient_force'])
+
+    def make_trainer(model, batch):
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.asarray(batch['z']),
+                            jnp.asarray(batch['pos']),
+                            jnp.asarray(batch['cell']))
+        return Trainer(model=model, params=params,
+                       loss_fns=get_loss_by_string({'energy': {}}),
+                       optimizer=get_optimizer_by_string('adam', lr=1e-3))
+
+    # staircase batch into a non-compact model
+    ds = NeighborListDataset(Frames(), cutoff=4.0, k_max=9, mode='newton3c',
+                             stair_chunk=3, stair_pad=2)
+    stair_batch = collate([ds[i] for i in range(B)], n_pad=N, batch_pad=B)
+    plain_model = NewtonNet(k_max=16, **common)
+    with pytest.raises(ValueError, match='newton3_compact'):
+        make_trainer(plain_model, stair_batch).run_one_epoch(
+            [stair_batch], step=True)
+
+    # plain batch into a compact model
+    plain_batch = collate([Frames()[i] for i in range(B)], n_pad=N,
+                          batch_pad=B)
+    compact_model = NewtonNet(k_max=16, newton3_compact=True, **common)
+    with pytest.raises(ValueError, match='newton3_compact'):
+        make_trainer(compact_model, plain_batch).run_one_epoch(
+            [plain_batch], step=True)
