@@ -138,7 +138,7 @@ class NeighborListDataset:
     '''
 
     def __init__(self, dataset, cutoff, k_max, mode='plain',
-                 mic_mode='exact', stair_chunk=6, stair_pad=8,
+                 mic_mode='exact', stair_chunk=4, stair_pad=8,
                  stair_margin=16, stair_extra_colors=None):
         self.dataset = dataset
         self.cutoff = cutoff

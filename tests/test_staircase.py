@@ -234,7 +234,7 @@ def test_staircase_through_trainer():
         src = Frames()
         ds = (NeighborListDataset(src, cutoff=4.5, k_max=10, mode='newton3c',
                                   stair_chunk=3, stair_pad=2,
-                                  stair_margin=2)
+                                  stair_margin=8)
               if compact else src)
         model = NewtonNet(k_max=16, newton3_compact=compact, **common)
         batches = [collate([ds[i + c * B] for i in range(B)], n_pad=N,

@@ -14,7 +14,7 @@ through the neighborlist path, comparing graph strategies:
   * newton3c -- staircase-compacted newton3 (ops/staircase.py): the color
                axis is chunked and each chunk only carries the atom prefix
                that needs it, ~25% fewer slot rows on every per-edge op
-               (chunk size via NEWTONNET_STAIR_CHUNK, default 6).
+               (chunk size via NEWTONNET_STAIR_CHUNK, default 4).
 
 Prints ms/step and M edges/s for each mode.
 
@@ -142,7 +142,7 @@ def main(n_atoms=4096, *modes):
         elif mode == 'newton3c':
             from newtonnet_tpu.ops.staircase import (staircase_half_list,
                                                      stair_nlist)
-            chunk = int(os.environ.get('NEWTONNET_STAIR_CHUNK', '6'))
+            chunk = int(os.environ.get('NEWTONNET_STAIR_CHUNK', '4'))
             idx_full, kmask_f, _, _ = jax.jit(
                 lambda p, c, m: neighbor_list(p, c, m, cutoff, 96))(
                 batch['pos'], batch['cell'], batch['z'] > 0)
