@@ -164,11 +164,16 @@ def predict_pod_efficiency(args, out_path=None):
     # prediction table tracks the live bench round-over-round); B=10 is
     # scaled from it (step time ~linear in B on the HBM-bound dense
     # path; the 0.66/5.25 ratio was measured in round 3).
-    # large-N: PERF_NOTES round-3 battery (N=4096, newton3, scan-chunked)
+    # large-N DP: staircase-compacted half lists (PERF_NOTES round-5,
+    # N=4096, newton3c chunk=4, native lists); halo mode keeps the
+    # rectangular newton3 layout (staircase does not compose with the
+    # halo-extended atom axis), so its per-shard step is the round-3/4
+    # rectangular figure
     T_DENSE_B100, bench_src = _latest_bench_step_ms(default=5.25)
     print(f'# T_DENSE_B100 = {T_DENSE_B100} ms  (source: {bench_src})')
     T_DENSE_B10 = 0.66 * (T_DENSE_B100 / 5.25)
-    T_LARGEN = 52.6
+    T_LARGEN = 31.7
+    T_LARGEN_HALO = 52.6
 
     # ---- gradient all-reduce payload: the parameter pytree ----
     model = NewtonNet(cutoff=5.0, n_features=128, n_basis=20,
@@ -239,12 +244,12 @@ def predict_pod_efficiency(args, out_path=None):
          'reference batch size; the near-threshold DP case')
     emit('largeN-dp-N4096/chip', T_LARGEN, chips,
          lambda c: _allreduce_ms(param_bytes, c),
-         'newton3 train step, PERF_NOTES round-3 battery')
+         'newton3c staircase train step, PERF_NOTES round-5')
     # halo: ring exchanges ride both ICI directions concurrently; the
     # per-shard per-step one-way payload is half the total ppermute bytes.
     # Compute per shard stays ~T_LARGEN (4096 atoms/shard weak scaling);
     # the gradient all-reduce (graph axis) adds param_bytes like DP.
-    emit('largeN-halo-N4096/shard', T_LARGEN, chips,
+    emit('largeN-halo-N4096/shard', T_LARGEN_HALO, chips,
          lambda c: (halo_ppermute_bytes / 2.0 / ICI_LINK_BW * 1e3
                     + _allreduce_ms(param_bytes + halo_psum_bytes, c)),
          f'halo ppermutes {halo_ppermute_bytes / 1e6:.2f} MB/step/shard '
