@@ -307,3 +307,44 @@ def test_trainer_rejects_stair_mode_mismatch():
     with pytest.raises(ValueError, match='newton3_compact'):
         make_trainer(compact_model, plain_batch).run_one_epoch(
             [plain_batch], step=True)
+
+
+def test_staircase_train_cli_subprocess(tmp_path):
+    '''The full production path: YAML `data.precompute_nlist: {mode:
+    newton3c}` + `model: {newton3_compact: true}` through the real
+    training CLI, end to end in a subprocess.'''
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = {
+        'general': {'device': 'cpu', 'output': str(tmp_path / 'out'),
+                    'precision': 'float32', 'seed': 0},
+        'data': {'train_root': os.path.join(repo, 'data', 'md17_aspirin',
+                                            'ccsd_train'),
+                 'train_size': 8, 'val_size': 4, 'test_size': 0,
+                 'train_batch_size': 4, 'val_batch_size': 4,
+                 'precompute_nlist': {'cutoff': 5.0, 'k_max': 16,
+                                      'mode': 'newton3c'}},
+        'model': {'n_features': 8, 'n_basis': 4, 'n_interactions': 1,
+                  'graph_mode': 'neighborlist', 'k_max': 16,
+                  'newton3_compact': True,
+                  'output_properties': ['energy', 'gradient_force']},
+        'training': {'loss': {'energy': {}, 'gradient_force':
+                              {'weight': 50.0}},
+                     'optimizer': {'adam': {'lr': 1e-3}},
+                     'epochs': 1, 'checkpoint': {'check_log': 1}},
+    }
+    cfg_path = tmp_path / 'c.yml'
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, 'scripts', 'newtonnet_train.py'),
+         '--config', str(cfg_path)],
+        capture_output=True, text=True, timeout=400)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert 'done!' in out.stdout
+    assert (tmp_path / 'out' / 'training_1' / 'models'
+            / 'best_model.msgpack').exists()
