@@ -282,6 +282,116 @@ def _unpack_symmetric_nlist(wire):
     return (idx, mask, jnp.swapaxes(idx, 1, 2), jnp.swapaxes(mask, 1, 2))
 
 
+def host_staircase_nlist(model, z, pos, cell, skin, plan_box):
+    '''Staircase half lists for the newton3_compact MD path.
+
+    Per skin rebuild: build the full symmetric list at cutoff+skin per
+    replica, run the native color+compact phase (ops/staircase.py ->
+    native/staircase.cpp), chunk under a shared static shape plan (fixed
+    by the FIRST rebuild in `plan_box`, a mutable dict, with spare rows
+    and colors so later rebuilds keep the same compiled shapes), and
+    ship sentinel-coded per-chunk indices; masks and per-color inverse
+    lists are derived on device. Returns (nlist, perm (M, N) int32) --
+    the caller permutes the device state by `perm` (atoms re-sorted by
+    slot need each rebuild) and composes `perm` into its cumulative
+    permutation for final output ordering.
+    '''
+    from newtonnet_tpu.ops.staircase import (staircase_chunks,
+                                             staircase_colors)
+    pos = np.asarray(pos)
+    z = np.asarray(z)
+    cell = np.asarray(cell)
+    M, N = z.shape
+    k = model.k_max
+    k_full = 2 * k + 8
+    from newtonnet_tpu import native
+    use_native = native.available() or native.ensure_built()
+    perms = np.zeros((M, N), np.int32)
+    sls = []
+    for m in range(M):
+        if use_native:
+            n_real = int((z[m] > 0).sum())
+            idx_r, count, ovf = native.cell_list_neighbors(
+                pos[m, :n_real], cell[m] if cell[m].any() else None,
+                model.cutoff + skin, k_full)
+            if ovf:
+                raise ValueError(
+                    f'neighbor overflow ({ovf} atoms > k_max={k_full})')
+            idx = np.zeros((N, k_full), np.int32)
+            idx[:n_real] = idx_r
+            kmask = np.zeros((N, k_full), bool)
+            kmask[:n_real] = np.arange(k_full)[None, :] < count[:, None]
+        else:
+            idx_d, kmask_d = _jit_neighbor_list(
+                jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
+                jnp.asarray(z[m][None]), model.cutoff + skin, k_full,
+                model.mic_mode)
+            idx, kmask = np.asarray(idx_d[0]), np.asarray(kmask_d[0])
+        try:
+            colored = staircase_colors(idx, kmask,
+                                       plan=plan_box.get('plan'))
+            if plan_box.get('plan') is None:
+                first = staircase_chunks(colored, pad=8)
+                # QUANTIZED drift headroom: widths wobble a few percent
+                # between skin rebuilds as atoms diffuse, and separate
+                # driver calls must land on the SAME plan so the chunk
+                # jit (and the persistent compilation cache) is reused --
+                # round each width up to a coarse grid plus one grid step
+                q = max(32, N // 16)
+
+                def width(n):
+                    return min((n // q + 2) * q, N)
+                plan = [(c, width(n)) for c, n in first.widths]
+                plan.append((plan[-1][0], plan[-1][1]))  # spare colors
+                plan_box['plan'] = tuple(plan)
+            sl = staircase_chunks(colored, pad=8, plan=plan_box['plan'])
+        except ValueError as e:
+            raise ValueError(
+                f'{e} -- a skin rebuild outgrew the staircase shape plan '
+                'fixed at the first rebuild (atoms drifted into a denser '
+                'configuration); enlarge model k_max headroom or restart '
+                'the trajectory to re-plan') from None
+        sls.append(sl)
+        perms[m] = sl.perm
+    widths = plan_box['plan']
+    wires = []
+    for ci, (c, n) in enumerate(widths):
+        w = np.full((M, c, n), n,
+                    np.int16 if n < 2 ** 15 - 1 else np.int32)
+        for m, sl in enumerate(sls):
+            ch = sl.chunks[ci]
+            w[m] = np.where(ch.mask[0], ch.idx[0], n)
+        wires.append(jnp.asarray(w))
+    return _unpack_stair_nlist(tuple(wires)), jnp.asarray(perms)
+
+
+@jax.jit
+def _unpack_stair_nlist(wires):
+    # per-chunk mask + per-color inverse lists derived on device (each
+    # chunk is a square K-major block, so build_inverse_list applies)
+    from newtonnet_tpu.ops.nlist import build_inverse_list
+    out = []
+    for w in wires:
+        n = w.shape[-1]
+        idx = w.astype(jnp.int32)
+        mask = idx < n
+        idx = jnp.where(mask, idx, 0)
+        inv, inv_mask = build_inverse_list(idx, mask)
+        out.append((idx, mask, inv, inv_mask))
+    return tuple(out)
+
+
+@jax.jit
+def _permute_state(carry, perm):
+    '''Re-sort the (pos, vel, f, epot) carry by a per-replica atom
+    permutation (staircase rebuilds re-sort atoms by slot need).'''
+    pos, vel, f, epot = carry
+
+    def take(a):
+        return jnp.take_along_axis(a, perm[..., None], axis=1)
+    return (take(pos), take(vel), take(f), epot)
+
+
 @jax.jit
 def _unpack_newton3_nlist(wire):
     # a half list is not an involution: the K-major inverse lists are
@@ -299,7 +409,7 @@ def _unpack_newton3_nlist(wire):
 def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                            friction, n_steps, log_every=100, seed=0,
                            dtype=np.float32, matmul_precision='highest',
-                           nlist_every=0, skin=1.0):
+                           nlist_every=0, skin=1.0, stair_plan=None):
     '''Run Langevin MD fully on device.
 
     `system` may be a single System or a list of Systems: a list runs as a
@@ -320,40 +430,82 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)
 
+    compact = getattr(model, 'newton3_compact', False)
     if (nlist_every > 1
             and (getattr(model, 'inverse_lists', False)
-                 or getattr(model, 'newton3', False))
+                 or getattr(model, 'newton3', False) or compact)
             and getattr(model, 'graph_mode', 'dense') == 'neighborlist'):
-        # host-rebuild mode: symmetric-slotted (or newton3 half) lists
-        # (scatter-free model backward) are recolored natively on the host
-        # per skin rebuild, so the trajectory advances in chunks of
-        # nlist_every dispatches
+        # host-rebuild mode: symmetric-slotted (or newton3 half /
+        # staircase) lists (scatter-free model backward) are recolored
+        # natively on the host per skin rebuild, so the trajectory
+        # advances in chunks of nlist_every dispatches. In staircase
+        # mode each rebuild also re-sorts atoms by slot need: the device
+        # state is permuted per rebuild and the cumulative permutation
+        # is undone before writing results back into the Systems.
         assert n_steps % nlist_every == 0
         kB_T = float(kB * temperature_K)
-        z_j = jnp.asarray(z)
-        masses_j = jnp.asarray(masses)
+        z_cur = z
+        masses_cur = masses
         cell_j = jnp.asarray(cell)
         vel = jnp.asarray(mom / masses[..., None])
         pos_j = jnp.asarray(pos)
         keys = jax.random.split(jax.random.PRNGKey(seed), n_steps).reshape(
             n_steps // nlist_every, nlist_every, -1)
         ep_list, ek_list = [], []
+        M, N = z.shape
+        cum = np.tile(np.arange(N, dtype=np.int64), (M, 1))
+        # staircase shape plan: quantized per-chunk widths, fixed at the
+        # first rebuild. Callers making SEVERAL driver calls on the same
+        # system (warmup + production legs) should pass one shared
+        # mutable dict as `stair_plan` so every leg compiles to the same
+        # shapes -- a fresh plan re-derived from slightly-evolved
+        # positions can flip a quantization boundary and force a full
+        # recompile of the chunk program (~45 s at N=4096)
+        plan_box = stair_plan if stair_plan is not None else {}
+
+        def rebuild(pos_now, carry=None):
+            nonlocal z_cur, masses_cur, cum
+            if not compact:
+                return (host_symmetric_nlist(model, z_cur, pos_now, cell,
+                                             skin=skin), carry)
+            nl, perm = host_staircase_nlist(model, z_cur, pos_now, cell,
+                                            skin, plan_box)
+            p = np.asarray(perm)
+            z_cur = np.take_along_axis(z_cur, p, axis=1)
+            masses_cur = np.take_along_axis(masses_cur, p, axis=1)
+            cum = np.take_along_axis(cum, p, axis=1)
+            if carry is not None:
+                carry = _permute_state(carry, perm)
+            return nl, carry
+
         with jax.default_matmul_precision(matmul_precision):
-            nlist = host_symmetric_nlist(model, z, pos_j, cell, skin=skin)
-            epot, f = _apply_ef(model, params, z_j, pos_j, cell_j, nlist)
+            nlist, _ = rebuild(pos_j)
+            if compact:
+                # enter the first sorted order (cum was identity before
+                # the rebuild, so cum IS the first permutation)
+                pos_j, vel, _, _ = _permute_state(
+                    (pos_j, vel, pos_j, None), jnp.asarray(cum))
+            epot, f = _apply_ef(model, params, jnp.asarray(z_cur), pos_j,
+                                cell_j, nlist)
             carry = (pos_j, vel, f, epot)
             for c in range(n_steps // nlist_every):
                 if c > 0:
-                    nlist = host_symmetric_nlist(model, z, carry[0], cell,
-                                                 skin=skin)
+                    nlist, carry = rebuild(np.asarray(carry[0]), carry)
                 carry, (ep, ek) = _langevin_chunk(
-                    model, params, carry, z_j, masses_j, cell_j, nlist,
+                    model, params, carry, jnp.asarray(z_cur),
+                    jnp.asarray(masses_cur), cell_j, nlist,
                     keys[c], dt=float(timestep), temp=kB_T,
                     friction=float(friction))
                 ep_list.append(np.asarray(ep))
                 ek_list.append(np.asarray(ek))
-        pos_f = np.asarray(carry[0])
-        mom_f = np.asarray(carry[1]) * masses[..., None]
+        pos_s = np.asarray(carry[0])
+        mom_s = np.asarray(carry[1]) * masses_cur[..., None]
+        # undo the cumulative staircase re-sorts (identity when not compact)
+        pos_f = np.empty_like(pos_s)
+        mom_f = np.empty_like(mom_s)
+        for m in range(M):
+            pos_f[m, cum[m]] = pos_s[m]
+            mom_f[m, cum[m]] = mom_s[m]
         epots = np.concatenate(ep_list)[::log_every]
         ekins = np.concatenate(ek_list)[::log_every]
         for i, s in enumerate(systems):

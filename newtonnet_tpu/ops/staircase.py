@@ -267,39 +267,40 @@ def staircase_chunks(colored, chunk=4, pad=8, plan=None):
             widths.append((c, min(n_k, N)))
             k0 += c
 
-    chunks = [dict(idx=np.zeros((c, n), np.int32),
-                   mask=np.zeros((c, n), bool),
-                   inv=np.zeros((c, n), np.int32),
-                   inv_mask=np.zeros((c, n), bool))
-              for c, n in widths]
+    # vectorized chunk fill (the per-edge python loop took ~2 s at 106k
+    # edges -- too slow for MD skin rebuilds)
     starts = np.cumsum([0] + [c for c, _ in widths])
-    for e in range(len(src)):
-        k = int(color[e])
-        ci = int(np.searchsorted(starts, k, side='right')) - 1
-        t = k - int(starts[ci])
-        ch = chunks[ci]
-        su, sv = int(spos[src[e]]), int(spos[dst[e]])
-        n = ch['idx'].shape[1]
-        if su >= n or sv >= n:
+    ci_all = np.searchsorted(starts, color, side='right') - 1
+    su_all = spos[src]
+    sv_all = spos[dst]
+    out_chunks = []
+    for ci, (c, n) in enumerate(widths):
+        sel = ci_all == ci
+        t = color[sel] - starts[ci]
+        su, sv = su_all[sel], sv_all[sel]
+        if len(su) and (su.max() >= n or sv.max() >= n):
             raise AssertionError(
                 'staircase_half_list: edge endpoint beyond its chunk '
                 'prefix (compaction invariant violated)')
-        if ch['mask'][t, su] or ch['inv_mask'][t, sv]:
+        if (len(np.unique(t * n + su)) != len(su)
+                or len(np.unique(t * n + sv)) != len(sv)):
             raise AssertionError(
                 'staircase_half_list: slot collision (coloring invariant '
                 'violated)')
-        ch['idx'][t, su] = sv
-        ch['mask'][t, su] = True
-        ch['inv'][t, sv] = su
-        ch['inv_mask'][t, sv] = True
+        idx_c = np.zeros((c, n), np.int32)
+        mask_c = np.zeros((c, n), bool)
+        inv_c = np.zeros((c, n), np.int32)
+        invm_c = np.zeros((c, n), bool)
+        idx_c[t, su] = sv
+        mask_c[t, su] = True
+        inv_c[t, sv] = su
+        invm_c[t, sv] = True
+        out_chunks.append(StairChunk(idx=idx_c[None], mask=mask_c[None],
+                                     inv=inv_c[None],
+                                     inv_mask=invm_c[None]))
 
-    return StairList(
-        perm=perm, inv_perm=inv_perm,
-        chunks=tuple(StairChunk(idx=ch['idx'][None], mask=ch['mask'][None],
-                                inv=ch['inv'][None],
-                                inv_mask=ch['inv_mask'][None])
-                     for ch in chunks),
-        widths=tuple(widths))
+    return StairList(perm=perm, inv_perm=inv_perm,
+                     chunks=tuple(out_chunks), widths=tuple(widths))
 
 
 def stair_nlist(stair):

@@ -348,3 +348,51 @@ def test_staircase_train_cli_subprocess(tmp_path):
     assert 'done!' in out.stdout
     assert (tmp_path / 'out' / 'training_1' / 'models'
             / 'best_model.msgpack').exists()
+
+
+def test_staircase_md_matches_newton3_driver():
+    '''Host-rebuild MD with staircase lists (atoms re-sorted by slot need
+    at every rebuild, state permuted on device, cumulative permutation
+    undone at the end) integrates the same trajectory as the newton3
+    host-rebuild driver. friction=0 makes the Langevin integrator
+    noise-free, so trajectories are deterministic and comparable across
+    the two atom orderings.'''
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(1)
+    n = 48
+    L = (n / 0.02) ** (1 / 3)
+    cell = np.diag([L, L, L])
+    pos = rs.rand(n, 3) @ cell
+    numbers = rs.choice([1, 1, 8], size=n)
+
+    def fresh():
+        s = System(numbers, pos.copy(), cell=cell, pbc=[True] * 3)
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(0))
+        return s
+
+    results = {}
+    for compact in (False, True):
+        model = NewtonNet(graph_mode='neighborlist', k_max=24,
+                          newton3=not compact, newton3_compact=compact,
+                          output_properties=['energy', 'gradient_force'])
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(numbers[None], jnp.int32),
+            jnp.asarray(pos[None], jnp.float32),
+            jnp.asarray(cell[None], jnp.float32))
+        params = jax.tree.map(lambda x: x * 0.1, params)
+        s, log = run_langevin_on_device(
+            model, params, fresh(), timestep=0.5 * units.fs,
+            temperature_K=300, friction=0.0, n_steps=9, log_every=1,
+            nlist_every=3, seed=0)
+        results[compact] = (s.positions.copy(), s.momenta.copy(),
+                            log['epot'])
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               atol=1e-5)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               atol=1e-4)
+    np.testing.assert_allclose(results[True][2], results[False][2],
+                               atol=1e-4)

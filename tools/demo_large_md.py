@@ -23,10 +23,12 @@ import jax.numpy as jnp
 
 def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
          mode='newton3'):
-    # mode: 'newton3' (default -- half lists, host-rebuilt, fastest),
-    # 'inverse' (symmetric-slotted full lists, host-rebuilt), or 'plain'
-    # (full lists rebuilt in-jit on device). k_max=0 picks a default per
-    # mode (half-list capacity is ~max degree/2 + slack).
+    # mode: 'newton3c' (staircase-compacted half lists, host-rebuilt,
+    # fastest -- ops/staircase.py), 'newton3' (rectangular half lists,
+    # host-rebuilt), 'inverse' (symmetric-slotted full lists,
+    # host-rebuilt), or 'plain' (full lists rebuilt in-jit on device).
+    # k_max=0 picks a default per mode (half-list capacity is ~max
+    # degree/2 + slack).
     from newtonnet_tpu.data import units
     from newtonnet_tpu.md.driver import run_langevin_on_device
     from newtonnet_tpu.md.system import System, maxwell_boltzmann
@@ -45,9 +47,11 @@ def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
     if not k_max:
         # capacity covers the BUILD radius cutoff+skin=6.0 A: max degree in
         # this box is ~119 (Konig half-list bound 60), plus drift headroom
-        k_max = {'newton3': 72, 'inverse': 136, 'plain': 144}[mode]
+        k_max = {'newton3': 72, 'newton3c': 72, 'inverse': 136,
+                 'plain': 144}[mode]
     model = NewtonNet(graph_mode='neighborlist', k_max=k_max,
                       newton3=(mode == 'newton3'),
+                      newton3_compact=(mode == 'newton3c'),
                       inverse_lists=(mode == 'inverse'),
                       compute_dtype='bfloat16',
                       output_properties=['energy', 'gradient_force'])
@@ -66,12 +70,16 @@ def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
     print(f'N={n_atoms} atoms, {edges} directed edges, overflow={int(ovf.sum())}')
 
     # warmup/compile (+ honest-timing fetch); skin-radius lists rebuilt
-    # every nlist_every steps, stale pairs re-masked per step in-model
+    # every nlist_every steps, stale pairs re-masked per step in-model.
+    # The shared stair_plan keeps the warmup and timed legs on ONE set of
+    # compiled chunk shapes (newton3c mode; ignored otherwise)
+    stair_plan = {}
     t0 = time.time()
     system, log = run_langevin_on_device(
         model, params, system, timestep=0.5 * units.fs, temperature_K=300,
         friction=1 / (100 * units.fs), n_steps=nlist_every, log_every=1,
-        matmul_precision='default', nlist_every=nlist_every)
+        matmul_precision='default', nlist_every=nlist_every,
+        stair_plan=stair_plan)
     print(f'compile+warmup: {time.time() - t0:.0f}s')
 
     t0 = time.perf_counter()
@@ -79,7 +87,7 @@ def main(n_atoms=4096, n_steps=100, k_max=0, nlist_every=10,
         model, params, system, timestep=0.5 * units.fs, temperature_K=300,
         friction=1 / (100 * units.fs), n_steps=n_steps,
         log_every=max(1, n_steps // 10), matmul_precision='default',
-        nlist_every=nlist_every)
+        nlist_every=nlist_every, stair_plan=stair_plan)
     dt = (time.perf_counter() - t0) / n_steps
     print(f'{dt * 1e3:.1f} ms/step -> {1 / dt:.1f} steps/s, '
           f'{edges / dt / 1e6:.1f}M edges/s')
