@@ -49,7 +49,7 @@ def main(n_atoms=4096, *modes):
     from newtonnet_tpu.ops.nlist import build_inverse_list, neighbor_list
     from newtonnet_tpu.train import fastgrad, get_loss_by_string
 
-    modes = modes or ('injit', 'plain', 'newton3')
+    modes = modes or ('injit', 'plain', 'newton3', 'newton3c')
     rho, cutoff = 0.1, 5.0
     L = (n_atoms / rho) ** (1 / 3)
     rs = np.random.RandomState(0)
