@@ -127,19 +127,30 @@ struct KonigState {
       node = side_in ? (*src)[e2] : (*dst)[e2];
       side_in = !side_in;
     }
-    for (int64_t e2 : chain) {
-      const int32_t old = color[e2];
-      slot_out[static_cast<size_t>((*src)[e2]) * cap + old] = -1;
-      slot_in[static_cast<size_t>((*dst)[e2]) * cap + old] = -1;
+    auto toggle = [&]() {
+      for (int64_t e2 : chain) {
+        const int32_t old = color[e2];
+        slot_out[static_cast<size_t>((*src)[e2]) * cap + old] = -1;
+        slot_in[static_cast<size_t>((*dst)[e2]) * cap + old] = -1;
+      }
+      for (int64_t e2 : chain) {
+        const int32_t nw = (color[e2] == a) ? b : a;
+        color[e2] = nw;
+        slot_out[static_cast<size_t>((*src)[e2]) * cap + nw] = e2;
+        slot_in[static_cast<size_t>((*dst)[e2]) * cap + nw] = e2;
+      }
+    };
+    toggle();
+    if (slot_out[static_cast<size_t>(u) * cap + a] >= 0 ||
+        slot_in[static_cast<size_t>(v) * cap + a] >= 0) {
+      // provably unreachable when the caller lifted its edge off both
+      // rows first; if it ever fires, the per-edge a/b swap is an
+      // involution, so re-toggling the SAME recorded chain restores the
+      // exact pre-call state -- False never leaves corruption behind
+      toggle();
+      return false;
     }
-    for (int64_t e2 : chain) {
-      const int32_t nw = (color[e2] == a) ? b : a;
-      color[e2] = nw;
-      slot_out[static_cast<size_t>((*src)[e2]) * cap + nw] = e2;
-      slot_in[static_cast<size_t>((*dst)[e2]) * cap + nw] = e2;
-    }
-    return slot_out[static_cast<size_t>(u) * cap + a] < 0 &&
-           slot_in[static_cast<size_t>(v) * cap + a] < 0;
+    return true;
   }
 
   // Greedy lowest-shared-slot coloring with Konig chain flips. Returns

@@ -307,8 +307,8 @@ def host_staircase_nlist(model, z, pos, cell, skin, plan_box):
     from newtonnet_tpu import native
     use_native = native.available() or native.ensure_built()
     perms = np.zeros((M, N), np.int32)
-    sls = []
-    for m in range(M):
+
+    def full_list(m):
         if use_native:
             n_real = int((z[m] > 0).sum())
             idx_r, count, ovf = native.cell_list_neighbors(
@@ -321,37 +321,48 @@ def host_staircase_nlist(model, z, pos, cell, skin, plan_box):
             idx[:n_real] = idx_r
             kmask = np.zeros((N, k_full), bool)
             kmask[:n_real] = np.arange(k_full)[None, :] < count[:, None]
-        else:
-            idx_d, kmask_d = _jit_neighbor_list(
-                jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
-                jnp.asarray(z[m][None]), model.cutoff + skin, k_full,
-                model.mic_mode)
-            idx, kmask = np.asarray(idx_d[0]), np.asarray(kmask_d[0])
-        try:
-            colored = staircase_colors(idx, kmask,
-                                       plan=plan_box.get('plan'))
-            if plan_box.get('plan') is None:
-                first = staircase_chunks(colored, pad=8)
-                # QUANTIZED drift headroom: widths wobble a few percent
-                # between skin rebuilds as atoms diffuse, and separate
-                # driver calls must land on the SAME plan so the chunk
-                # jit (and the persistent compilation cache) is reused --
-                # round each width up to a coarse grid plus one grid step
-                q = max(32, N // 16)
+            return idx, kmask
+        idx_d, kmask_d = _jit_neighbor_list(
+            jnp.asarray(pos[m][None]), jnp.asarray(cell[m][None]),
+            jnp.asarray(z[m][None]), model.cutoff + skin, k_full,
+            model.mic_mode)
+        return np.asarray(idx_d[0]), np.asarray(kmask_d[0])
 
-                def width(n):
-                    return min((n // q + 2) * q, N)
-                plan = [(c, width(n)) for c, n in first.widths]
-                plan.append((plan[-1][0], plan[-1][1]))  # spare colors
-                plan_box['plan'] = tuple(plan)
-            sl = staircase_chunks(colored, pad=8, plan=plan_box['plan'])
-        except ValueError as e:
-            raise ValueError(
-                f'{e} -- a skin rebuild outgrew the staircase shape plan '
-                'fixed at the first rebuild (atoms drifted into a denser '
-                'configuration); enlarge model k_max headroom or restart '
-                'the trajectory to re-plan') from None
-        sls.append(sl)
+    try:
+        coloreds = [staircase_colors(*full_list(m),
+                                     plan=plan_box.get('plan'))
+                    for m in range(M)]
+        if plan_box.get('plan') is None:
+            # fix the shared static shape plan from ALL replicas' first
+            # rebuild (heterogeneous replicas need the elementwise max),
+            # forcing full chunks of the default color count so widths
+            # align across replicas with different palette sizes.
+            # QUANTIZED drift headroom: widths wobble a few percent
+            # between skin rebuilds as atoms diffuse, and separate
+            # driver calls must land on the SAME plan so the chunk jit
+            # (and the persistent compilation cache) is reused -- round
+            # each width up to a coarse grid plus one grid step
+            firsts = [staircase_chunks(c, pad=8) for c in coloreds]
+            cw = firsts[0].widths[0][0]  # default colors per chunk
+            n_chunks = max(len(f.widths) for f in firsts)
+            q = max(32, N // 16)
+
+            def width(n):
+                return min((n // q + 2) * q, N)
+            plan = [(cw, width(max(
+                (f.widths[ci][1] if ci < len(f.widths) else 0)
+                for f in firsts))) for ci in range(n_chunks)]
+            plan.append((cw, plan[-1][1]))  # spare colors
+            plan_box['plan'] = tuple(plan)
+        sls = [staircase_chunks(c, pad=8, plan=plan_box['plan'])
+               for c in coloreds]
+    except ValueError as e:
+        raise ValueError(
+            f'{e} -- a skin rebuild outgrew the staircase shape plan '
+            'fixed at the first rebuild (atoms drifted into a denser '
+            'configuration); enlarge model k_max headroom or restart '
+            'the trajectory to re-plan') from None
+    for m, sl in enumerate(sls):
         perms[m] = sl.perm
     widths = plan_box['plan']
     wires = []
@@ -431,6 +442,13 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)
 
     compact = getattr(model, 'newton3_compact', False)
+    if compact and not (nlist_every > 1 and getattr(
+            model, 'graph_mode', 'dense') == 'neighborlist'):
+        raise ValueError(
+            'newton3_compact MD requires the host-rebuild mode: '
+            "graph_mode='neighborlist' and nlist_every > 1 (staircase "
+            'lists are recolored on the host per skin rebuild; there is '
+            'no in-jit build for them)')
     if (nlist_every > 1
             and (getattr(model, 'inverse_lists', False)
                  or getattr(model, 'newton3', False) or compact)
@@ -463,6 +481,11 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
         # recompile of the chunk program (~45 s at N=4096)
         plan_box = stair_plan if stair_plan is not None else {}
 
+        # z/masses are uploaded once and refreshed only when a staircase
+        # rebuild re-sorts atoms (constant uploads were previously paid
+        # per chunk on the newton3/inverse paths too)
+        zm_dev = {'z': jnp.asarray(z_cur), 'm': jnp.asarray(masses_cur)}
+
         def rebuild(pos_now, carry=None):
             nonlocal z_cur, masses_cur, cum
             if not compact:
@@ -474,6 +497,8 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
             z_cur = np.take_along_axis(z_cur, p, axis=1)
             masses_cur = np.take_along_axis(masses_cur, p, axis=1)
             cum = np.take_along_axis(cum, p, axis=1)
+            zm_dev['z'] = jnp.asarray(z_cur)
+            zm_dev['m'] = jnp.asarray(masses_cur)
             if carry is not None:
                 carry = _permute_state(carry, perm)
             return nl, carry
@@ -485,15 +510,15 @@ def run_langevin_on_device(model, params, system, *, timestep, temperature_K,
                 # the rebuild, so cum IS the first permutation)
                 pos_j, vel, _, _ = _permute_state(
                     (pos_j, vel, pos_j, None), jnp.asarray(cum))
-            epot, f = _apply_ef(model, params, jnp.asarray(z_cur), pos_j,
+            epot, f = _apply_ef(model, params, zm_dev['z'], pos_j,
                                 cell_j, nlist)
             carry = (pos_j, vel, f, epot)
             for c in range(n_steps // nlist_every):
                 if c > 0:
                     nlist, carry = rebuild(np.asarray(carry[0]), carry)
                 carry, (ep, ek) = _langevin_chunk(
-                    model, params, carry, jnp.asarray(z_cur),
-                    jnp.asarray(masses_cur), cell_j, nlist,
+                    model, params, carry, zm_dev['z'],
+                    zm_dev['m'], cell_j, nlist,
                     keys[c], dt=float(timestep), temp=kB_T,
                     friction=float(friction))
                 ep_list.append(np.asarray(ep))

@@ -378,16 +378,26 @@ def _konig_color(src, dst, N, cap):
             else:
                 node = int(dst[e2])
             side_in = not side_in
-        for e2 in chain:
-            old = int(color[e2])
-            slot_out[src[e2]][old] = -1
-            slot_in[dst[e2]][old] = -1
-        for e2 in chain:
-            new = b if int(color[e2]) == a else a
-            color[e2] = new
-            slot_out[src[e2]][new] = e2
-            slot_in[dst[e2]][new] = e2
-        return not (slot_out[u][a] >= 0 or slot_in[v][a] >= 0)
+        def toggle():
+            for e2 in chain:
+                old = int(color[e2])
+                slot_out[src[e2]][old] = -1
+                slot_in[dst[e2]][old] = -1
+            for e2 in chain:
+                new = b if int(color[e2]) == a else a
+                color[e2] = new
+                slot_out[src[e2]][new] = e2
+                slot_in[dst[e2]][new] = e2
+        toggle()
+        if slot_out[u][a] >= 0 or slot_in[v][a] >= 0:
+            # provably unreachable when the caller removed its edge from
+            # both rows first (the walk cannot end occupying a at u), but
+            # if it ever fires, the per-edge a/b swap is an involution:
+            # re-toggling the SAME recorded chain restores the exact
+            # pre-call state, so False never leaves corruption behind
+            toggle()
+            return False
+        return True
 
     for e in range(len(src)):
         u, v = int(src[e]), int(dst[e])

@@ -396,3 +396,56 @@ def test_staircase_md_matches_newton3_driver():
                                atol=1e-4)
     np.testing.assert_allclose(results[True][2], results[False][2],
                                atol=1e-4)
+
+
+def test_staircase_md_heterogeneous_replicas():
+    '''The staircase MD shape plan must cover ALL replicas, not just
+    replica 0: a batched run of a sparse and a denser system previously
+    failed at the first rebuild with a misleading drift error.'''
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(4)
+    n = 32
+
+    def make(rho):
+        L = (n / rho) ** (1 / 3)
+        cell = np.diag([L, L, L])
+        s = System(rs.choice([1, 8], size=n), rs.rand(n, 3) @ cell,
+                   cell=cell, pbc=[True] * 3)
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(0))
+        return s
+
+    systems = [make(0.01), make(0.05)]  # sparse first: the old bug path
+    model = NewtonNet(graph_mode='neighborlist', k_max=24,
+                      newton3_compact=True,
+                      output_properties=['energy', 'gradient_force'])
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.stack([s.numbers for s in systems]), jnp.int32),
+        jnp.asarray(np.stack([s.positions for s in systems]), jnp.float32),
+        jnp.asarray(np.stack([s.cell for s in systems]), jnp.float32))
+    params = jax.tree.map(lambda x: x * 0.1, params)
+    out, log = run_langevin_on_device(
+        model, params, systems, timestep=0.5 * units.fs, temperature_K=300,
+        friction=0.0, n_steps=4, log_every=1, nlist_every=2, seed=0)
+    assert np.isfinite(log['epot']).all()
+    assert len(out) == 2
+
+
+def test_staircase_md_requires_host_rebuild_mode():
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System
+    from newtonnet_tpu.models import NewtonNet
+
+    s = System([8, 1, 1], np.eye(3))
+    model = NewtonNet(graph_mode='neighborlist', k_max=8,
+                      newton3_compact=True,
+                      output_properties=['energy', 'gradient_force'])
+    with pytest.raises(ValueError, match='host-rebuild'):
+        run_langevin_on_device(model, {}, s, timestep=0.5 * units.fs,
+                               temperature_K=300, friction=0.0, n_steps=2,
+                               log_every=1, nlist_every=0, seed=0)
