@@ -59,6 +59,21 @@ class NewtonNetCalculator:
             self._ensemble = loaded[1:]
         if model is None:
             raise ValueError('need model_path or (model, params)')
+        if getattr(model, 'newton3_compact', False):
+            # checkpoints are layout-portable (the staircase branch
+            # creates the SAME parameters as the kmajor newton3 branch):
+            # serve staircase-trained checkpoints through the rectangular
+            # newton3 layout here -- single-structure calculator calls
+            # would otherwise recompile whenever the staircase chunk
+            # widths wobble between geometries
+            from newtonnet_tpu.models import NewtonNet
+            model = NewtonNet(**{**model.config_dict(),
+                                 'newton3_compact': False, 'newton3': True})
+            self._ensemble = [
+                (NewtonNet(**{**m.config_dict(),
+                              'newton3_compact': False, 'newton3': True}), p)
+                if getattr(m, 'newton3_compact', False) else (m, p)
+                for m, p in self._ensemble]
 
         from newtonnet_tpu.layers.precision import get_precision_by_string
         self.dtype = get_precision_by_string(precision)

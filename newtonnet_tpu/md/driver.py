@@ -729,6 +729,12 @@ def run_nhc_on_device(model, params, system, *, timestep, temperature_K,
     the integration-quality diagnostic (md/integrators.NoseHooverChain is
     the host-loop counterpart with identical algebra).
     '''
+    if getattr(model, 'newton3_compact', False):
+        raise ValueError(
+            'newton3_compact models are not supported by the NHC driver '
+            '(it has no host-rebuild mode); run Langevin with '
+            'nlist_every > 1, or rebuild the model with newton3=True -- '
+            'the checkpoint is layout-portable')
     systems = system if isinstance(system, (list, tuple)) else [system]
     params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     z, pos, mom, masses, cell = _pad_systems(systems, dtype)

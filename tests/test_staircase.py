@@ -449,3 +449,33 @@ def test_staircase_md_requires_host_rebuild_mode():
         run_langevin_on_device(model, {}, s, timestep=0.5 * units.fs,
                                temperature_K=300, friction=0.0, n_steps=2,
                                log_every=1, nlist_every=0, seed=0)
+
+
+def test_calculator_serves_compact_checkpoints():
+    '''The calculator transparently serves staircase-trained checkpoints
+    through the rectangular newton3 layout (identical parameters), so a
+    single-structure call neither recompiles per geometry nor demands
+    staircase chunk plumbing.'''
+    from newtonnet_tpu.md.calculator import NewtonNetCalculator
+
+    cutoff = 4.5
+    z, pos, cell, _ = _frame(n=40, seed=5)
+    mc = _models(cutoff, compact=True)
+    params = mc.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                     jnp.asarray(pos), jnp.asarray(cell))
+
+    calc = NewtonNetCalculator(model=mc, params=params,
+                               properties=['energy', 'forces'])
+    assert calc.model.newton3 and not calc.model.newton3_compact
+    res = calc.calculate(numbers=z[0], positions=pos[0],
+                         cell=cell[0])
+
+    m3 = _models(cutoff, compact=False)
+    nl3 = _newton3_inputs(z, pos, cell, cutoff)
+    out3 = m3.apply(params, jnp.asarray(z), jnp.asarray(pos),
+                    jnp.asarray(cell), nlist=nl3)
+    np.testing.assert_allclose(res['energy'],
+                               float(out3['energy'][0]), rtol=1e-5)
+    np.testing.assert_allclose(res['forces'],
+                               np.asarray(out3['gradient_force'])[0],
+                               atol=1e-5)
