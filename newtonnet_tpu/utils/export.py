@@ -73,6 +73,25 @@ def export_inference(model, params, n_atoms, batch_size=1, properties=None,
     if periodic is not None and hasattr(model, 'with_ewald_mode'):
         model = model.with_ewald_mode('periodic' if periodic
                                       else 'aperiodic')
+    if (getattr(model, 'newton3', False)
+            or getattr(model, 'newton3_compact', False)
+            or getattr(model, 'inverse_lists', False)
+            or getattr(model, 'reverse_lists', False)):
+        # an AOT artifact must be self-contained: the fast list formats
+        # need host-built colorings per structure, which a serialized
+        # StableHLO program cannot run. Parameters are layout-portable
+        # (every list layout creates the same tree), so serve through
+        # the plain in-jit neighborlist build instead. newton3-family
+        # k_max is the HALF-list capacity; the full list needs the
+        # build capacity (2k+8, the convention of data/prelists.py).
+        from newtonnet_tpu.models import NewtonNet
+        cfg = model.config_dict()
+        if cfg.get('newton3') or cfg.get('newton3_compact'):
+            cfg['k_max'] = 2 * cfg['k_max'] + 8
+        for key in ('newton3', 'newton3_compact', 'inverse_lists',
+                    'reverse_lists'):
+            cfg[key] = False
+        model = NewtonNet(**cfg)
     props = list(properties or model.output_properties)
     missing = [p for p in props if p not in model.output_properties]
     if missing:

@@ -479,3 +479,36 @@ def test_calculator_serves_compact_checkpoints():
     np.testing.assert_allclose(res['forces'],
                                np.asarray(out3['gradient_force'])[0],
                                atol=1e-5)
+
+
+def test_export_serves_fast_list_checkpoints():
+    '''AOT export rebuilds host-built-list models (newton3 / staircase /
+    inverse) through the self-contained plain in-jit layout -- parameters
+    are layout-portable, and a serialized StableHLO program cannot run
+    host colorings per structure.'''
+    from newtonnet_tpu.utils.export import export_inference
+
+    cutoff = 4.5
+    z, pos, cell, _ = _frame(n=40, seed=6)
+    mc = _models(cutoff, compact=True)
+    params = mc.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                     jnp.asarray(pos), jnp.asarray(cell))
+
+    header, blob = export_inference(mc, params, n_atoms=40, batch_size=1,
+                                    properties=['energy', 'gradient_force'])
+    from jax import export as jax_export
+    fn = jax_export.deserialize(blob)
+    zp = np.zeros((1, header['n_pad']), np.int32)
+    pp = np.zeros((1, header['n_pad'], 3), np.float32)
+    zp[0, :40], pp[0, :40] = z[0], pos[0]
+    out = fn.call(jnp.asarray(zp), jnp.asarray(pp), jnp.asarray(cell))
+
+    m3 = _models(cutoff, compact=False)
+    nl3 = _newton3_inputs(z, pos, cell, cutoff)
+    ref = m3.apply(params, jnp.asarray(z), jnp.asarray(pos),
+                   jnp.asarray(cell), nlist=nl3)
+    np.testing.assert_allclose(np.asarray(out['energy']),
+                               np.asarray(ref['energy']), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out['gradient_force'])[0, :40],
+        np.asarray(ref['gradient_force'])[0], atol=2e-5)
