@@ -129,12 +129,19 @@ def main(n_atoms=4096, *modes):
             idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 88)
             nlist = (jnp.asarray(idx[None]), jnp.asarray(m[None]))
         elif mode == 'newton3':
-            # k_max=40 is the exact Konig slot bound for this box (the
-            # coloring construction hits max(out,in)-degree exactly);
-            # frame_neighbor_lists raises if a frame ever needs more
-            model = NewtonNet(k_max=40, newton3=True, **common)
-            idx, m = frame_neighbor_lists(z[0], pos[0], cell[0], cutoff, 40,
-                                          mode='newton3')
+            # k2 starts at the N=4096 box's exact Konig bound (40); the
+            # max-degree tail grows slowly with N at fixed density, so
+            # retry upward until the coloring fits
+            for k2 in (40, 44, 48, 56):
+                try:
+                    idx, m = frame_neighbor_lists(z[0], pos[0], cell[0],
+                                                  cutoff, k2, mode='newton3')
+                    break
+                except ValueError:
+                    continue
+            else:
+                raise SystemExit('newton3 slot bound > 56 at this density')
+            model = NewtonNet(k_max=k2, newton3=True, **common)
             idxj, mj = jnp.asarray(idx[None]), jnp.asarray(m[None])
             inv, invm = build_inverse_list(jnp.swapaxes(idxj, 1, 2),
                                            jnp.swapaxes(mj, 1, 2))
