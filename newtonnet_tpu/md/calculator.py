@@ -67,11 +67,18 @@ class NewtonNetCalculator:
             # would otherwise recompile whenever the staircase chunk
             # widths wobble between geometries
             from newtonnet_tpu.models import NewtonNet
-            model = NewtonNet(**{**model.config_dict(),
-                                 'newton3_compact': False, 'newton3': True})
+
+            def as_newton3(m):
+                # param_dtype is not part of config_dict (it is not a
+                # serialized hyperparameter); preserve it explicitly like
+                # with_ewald_mode does
+                return NewtonNet(param_dtype=m.param_dtype,
+                                 **{**m.config_dict(),
+                                    'newton3_compact': False,
+                                    'newton3': True})
+            model = as_newton3(model)
             self._ensemble = [
-                (NewtonNet(**{**m.config_dict(),
-                              'newton3_compact': False, 'newton3': True}), p)
+                (as_newton3(m), p)
                 if getattr(m, 'newton3_compact', False) else (m, p)
                 for m, p in self._ensemble]
 
@@ -103,9 +110,10 @@ class NewtonNetCalculator:
             cfg = model.config_dict()
             cfg['output_properties'] = list(model.output_properties) + \
                 sorted(missing)
-            model = NewtonNet(**cfg)
+            model = NewtonNet(param_dtype=model.param_dtype, **cfg)
             self._ensemble = [
-                (NewtonNet(**{**m.config_dict(),
+                (NewtonNet(param_dtype=m.param_dtype,
+                           **{**m.config_dict(),
                               'output_properties': cfg['output_properties']}),
                  p) for m, p in self._ensemble]
         self.model = model

@@ -328,23 +328,28 @@ def host_staircase_nlist(model, z, pos, cell, skin, plan_box):
             model.mic_mode)
         return np.asarray(idx_d[0]), np.asarray(kmask_d[0])
 
+    had_plan = plan_box.get('plan') is not None
+    lists = [full_list(m) for m in range(M)]  # capacity errors raise as-is
     try:
-        coloreds = [staircase_colors(*full_list(m),
+        coloreds = [staircase_colors(idx, kmask,
                                      plan=plan_box.get('plan'))
-                    for m in range(M)]
-        if plan_box.get('plan') is None:
+                    for idx, kmask in lists]
+        if not had_plan:
             # fix the shared static shape plan from ALL replicas' first
-            # rebuild (heterogeneous replicas need the elementwise max),
-            # forcing full chunks of the default color count so widths
-            # align across replicas with different palette sizes.
+            # rebuild (heterogeneous replicas need the elementwise max):
+            # uniform chunks of `cw` colors covering the LARGEST
+            # replica's palette, so chunk boundaries align across
+            # replicas with different color caps.
             # QUANTIZED drift headroom: widths wobble a few percent
             # between skin rebuilds as atoms diffuse, and separate
             # driver calls must land on the SAME plan so the chunk jit
             # (and the persistent compilation cache) is reused -- round
             # each width up to a coarse grid plus one grid step
             firsts = [staircase_chunks(c, pad=8) for c in coloreds]
-            cw = firsts[0].widths[0][0]  # default colors per chunk
-            n_chunks = max(len(f.widths) for f in firsts)
+            cw = 4  # staircase_chunks default colors per chunk
+            max_cap = max((int(c[3].max()) + 1 if len(c[3]) else 1)
+                          for c in coloreds)
+            n_chunks = -(-max_cap // cw)
             q = max(32, N // 16)
 
             def width(n):
@@ -357,6 +362,8 @@ def host_staircase_nlist(model, z, pos, cell, skin, plan_box):
         sls = [staircase_chunks(c, pad=8, plan=plan_box['plan'])
                for c in coloreds]
     except ValueError as e:
+        if not had_plan:
+            raise
         raise ValueError(
             f'{e} -- a skin rebuild outgrew the staircase shape plan '
             'fixed at the first rebuild (atoms drifted into a denser '

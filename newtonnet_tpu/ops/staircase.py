@@ -237,7 +237,14 @@ def staircase_chunks(colored, chunk=4, pad=8, plan=None):
     N, src, dst, color = colored
     cap = int(color.max()) + 1 if len(color) else 1
     if plan is not None:
-        cap = sum(c for c, _ in plan)
+        plan_cap = sum(c for c, _ in plan)
+        if cap > plan_cap:
+            # must be loud: colors beyond the plan would otherwise fall
+            # off the chunked fill below and silently drop edges
+            raise ValueError(
+                f'staircase_half_list: frame needs {cap} colors; the '
+                f'plan provides {plan_cap}')
+        cap = plan_cap
     need = _per_atom_need(src, dst, color, N)
     order = np.argsort(-need, kind='stable')
     perm = order.astype(np.int32)                 # sorted pos -> original

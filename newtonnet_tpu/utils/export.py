@@ -91,7 +91,7 @@ def export_inference(model, params, n_atoms, batch_size=1, properties=None,
         for key in ('newton3', 'newton3_compact', 'inverse_lists',
                     'reverse_lists'):
             cfg[key] = False
-        model = NewtonNet(**cfg)
+        model = NewtonNet(param_dtype=model.param_dtype, **cfg)
     props = list(properties or model.output_properties)
     missing = [p for p in props if p not in model.output_properties]
     if missing:

@@ -512,3 +512,82 @@ def test_export_serves_fast_list_checkpoints():
     np.testing.assert_allclose(
         np.asarray(out['gradient_force'])[0, :40],
         np.asarray(ref['gradient_force'])[0], atol=2e-5)
+
+
+def test_staircase_chunks_rejects_colors_beyond_plan():
+    '''A plan shorter than the coloring's palette must raise, not
+    silently drop the out-of-range edges from every chunk.'''
+    from newtonnet_tpu.ops.staircase import (staircase_chunks,
+                                             staircase_colors)
+    cutoff = 4.5
+    z, pos, cell, _ = _frame(seed=7)
+    idx, kmask = _full_list(z, pos, cell, cutoff)
+    colored = staircase_colors(idx, kmask)
+    cap = int(colored[3].max()) + 1
+    short_plan = ((max(1, cap - 2), pos.shape[1]),)
+    with pytest.raises(ValueError, match='colors'):
+        staircase_chunks(colored, plan=short_plan)
+
+
+def test_staircase_md_dilute_plus_dense_replicas():
+    '''A dilute replica whose Konig palette is smaller than one chunk
+    batched with a dense one: the plan must still cover the dense
+    replica's colors (previously its high-color edges were dropped).'''
+    from newtonnet_tpu.data import units
+    from newtonnet_tpu.md.driver import run_langevin_on_device
+    from newtonnet_tpu.md.system import System, maxwell_boltzmann
+    from newtonnet_tpu.models import NewtonNet
+
+    rs = np.random.RandomState(6)
+    n = 24
+
+    def make(rho):
+        L = (n / rho) ** (1 / 3)
+        cell = np.diag([L, L, L])
+        s = System(rs.choice([1, 8], size=n), rs.rand(n, 3) @ cell,
+                   cell=cell, pbc=[True] * 3)
+        maxwell_boltzmann(s, 300.0, rng=np.random.default_rng(0))
+        return s
+
+    systems = [make(0.002), make(0.08)]  # near-isolated gas + liquid
+    model = NewtonNet(graph_mode='neighborlist', k_max=24,
+                      newton3_compact=True,
+                      output_properties=['energy', 'gradient_force'])
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.stack([s.numbers for s in systems]), jnp.int32),
+        jnp.asarray(np.stack([s.positions for s in systems]), jnp.float32),
+        jnp.asarray(np.stack([s.cell for s in systems]), jnp.float32))
+    params = jax.tree.map(lambda x: x * 0.1, params)
+    out, log = run_langevin_on_device(
+        model, params, systems, timestep=0.5 * units.fs, temperature_K=300,
+        friction=0.0, n_steps=4, log_every=1, nlist_every=2, seed=0)
+    assert np.isfinite(log['epot']).all()
+    # the dense replica's trajectory must match a rectangular-newton3 run
+    # of the same system alone (dropped high-color edges would shift it);
+    # friction=0 makes both runs deterministic
+    rs = np.random.RandomState(6)
+    dilute, dense = make(0.002), make(0.08)
+    m3 = NewtonNet(graph_mode='neighborlist', k_max=24, newton3=True,
+                   output_properties=['energy', 'gradient_force'])
+    _, log3 = run_langevin_on_device(
+        m3, params, dense, timestep=0.5 * units.fs, temperature_K=300,
+        friction=0.0, n_steps=4, log_every=1, nlist_every=2, seed=0)
+    np.testing.assert_allclose(log['epot'][:, 1], log3['epot'], atol=1e-4)
+
+
+def test_calculator_preserves_param_dtype():
+    from newtonnet_tpu.md.calculator import NewtonNetCalculator
+    from newtonnet_tpu.models import NewtonNet
+
+    z, pos, cell, _ = _frame(n=24, seed=8)
+    mc = NewtonNet(graph_mode='neighborlist', cutoff=4.5, n_features=8,
+                   n_basis=4, n_interactions=1, k_max=24,
+                   newton3_compact=True, param_dtype=jnp.float64,
+                   output_properties=['energy', 'gradient_force'])
+    params = mc.init(jax.random.PRNGKey(0), jnp.asarray(z),
+                     jnp.asarray(pos), jnp.asarray(cell))
+    calc = NewtonNetCalculator(model=mc, params=params,
+                               properties=['energy', 'forces'],
+                               precision='float64')
+    assert calc.model.param_dtype == jnp.float64
