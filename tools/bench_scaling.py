@@ -165,10 +165,11 @@ def predict_pod_efficiency(args, out_path=None):
     # scaled from it (step time ~linear in B on the HBM-bound dense
     # path; the 0.66/5.25 ratio was measured in round 3).
     # large-N DP: staircase-compacted half lists (PERF_NOTES round-5,
-    # N=4096, newton3c chunk=4, native lists); halo mode keeps the
-    # rectangular newton3 layout (staircase does not compose with the
-    # halo-extended atom axis), so its per-shard step is the round-3/4
-    # rectangular figure
+    # N=4096, newton3c chunk=4, native lists). The halo mode runs plain
+    # full lists per shard (~87 ms measured, PERF_NOTES round-3; neither
+    # newton3 nor the staircase composes with the halo-extended axis);
+    # its row uses the SMALLER 52.6 ms so communication is overweighted
+    # -- the conservative direction for an efficiency prediction
     T_DENSE_B100, bench_src = _latest_bench_step_ms(default=5.25)
     print(f'# T_DENSE_B100 = {T_DENSE_B100} ms  (source: {bench_src})')
     T_DENSE_B10 = 0.66 * (T_DENSE_B100 / 5.25)
